@@ -1,0 +1,429 @@
+"""HTML main-content extraction channel.
+
+This is the engine's analog of the reference's layout-analysis flow for web
+pages (the north star's "HTML boilerplate strip"): the DOM plays the role of
+the rendered page, block-level elements play the role of detected layout
+boxes, and the same page-local operator chain runs over them:
+
+1.  **Segmentation** — DOM walk emitting typed candidate regions; the
+    analog of layout-model detect (``ultralytics_layout_model.py:54-88``).
+2.  **Classification** — tag + class/id + link-text-density heuristics map
+    each region to a :class:`~latyas_ray.blocks.BlockKind`
+    (header/footer/nav boilerplate per the north star; kind mapping is the
+    analog of ``BlockType.from_str``, ``block.py:29-68``).
+3.  **Duplicate-region removal** — exact (kind, text) duplicates from
+    nested/cloned containers are dropped keep-first; the DOM analog of
+    ``Layout.remove_overlapping`` (``layout.py:86-132``) where duplicated
+    containers produce coincident boxes.
+4.  **Reading order** — synthetic page geometry is assigned (full-width
+    bands; two-column zones with deliberately staggered row heights so the
+    column gutter is the only clean cut) and
+    :func:`~latyas_ray.reflow.xy_cut_reflow` orders the regions, exactly as
+    ``base_pipeline.py:188-190`` / ``pdf2txt.py:93-94`` do per page.
+5.  **Routing + assembly** — per-kind keep/drop rules
+    (:data:`~latyas_ray.blocks.KEEP_KINDS`), the caption/cross-ref filter
+    (``pdf2txt.py:86-89``), equation wrapping ``\\n$$\\n…\\n$$\\n`` and
+    EmbedEq skipping (``tools/pdf2text.py:30-39``), blocks joined with
+    ``"\\n\\n"`` (frozen separator; the HTML-path analog of the page-writer
+    join at ``tools/pdf2text.py:59-62``).
+
+Everything here is a pure function of the input bytes — no floats besides
+exact small-integer-valued geometry, no dict-order or hash-seed dependence —
+so the output is byte-identical no matter how the corpus is partitioned
+(the north rule's per-url invariant).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+from typing import Dict, List, Optional, Tuple
+
+from .blocks import BlockKind, KEEP_KINDS
+from .overlap import Region
+from .reflow import xy_cut_reflow
+from .textnorm import caption_crossref_drop, collapse_ws
+
+# ---------------------------------------------------------------- DOM tree
+
+VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+# Opening one of these auto-closes an open <p> (HTML5 parsing rules).
+_P_CLOSERS = frozenset(
+    "p div section article main aside header footer nav ul ol table h1 h2 h3 "
+    "h4 h5 h6 figure blockquote pre".split()
+)
+
+HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+CONTAINER_TAGS = frozenset({"html", "body", "main", "article", "section", "div"})
+BOILER_TAGS = frozenset({"nav", "aside", "header", "footer"})
+
+_BOILER_CLASS_RE = re.compile(
+    r"(?:^|[\s_-])(nav|menu|sidebar|banner|cookie|consent|social|share|related|"
+    r"widget|footer|breadcrumbs?|ads?|promo|newsletter)(?:$|[\s_-])",
+    re.IGNORECASE,
+)
+_COL_LEFT_RE = re.compile(r"(?:^|\s)col(?:umn)?[_-]?left(?:$|\s)|(?:^|\s)left(?:$|\s)")
+_COL_RIGHT_RE = re.compile(r"(?:^|\s)col(?:umn)?[_-]?right(?:$|\s)|(?:^|\s)right(?:$|\s)")
+_EQUATION_RE = re.compile(r"^\$\$(.+)\$\$$", re.DOTALL)
+
+# Link-text density above this on a shortish container marks boilerplate
+# (the DOM-side "text-density heuristic" of the north star).
+LINK_DENSITY_THRESHOLD = 0.6
+LINK_DENSITY_MAX_CHARS = 512
+
+
+@dataclass
+class Node:
+    tag: str  # "" for text nodes
+    attrs: Dict[str, str] = field(default_factory=dict)
+    children: List["Node"] = field(default_factory=list)
+    text: str = ""  # only for text nodes
+
+
+class _TreeBuilder(HTMLParser):
+    """Forgiving tree builder: mismatched end tags pop to the nearest open
+    ancestor of that name (or are ignored); block tags auto-close ``<p>``;
+    ``<li>`` auto-closes ``<li>`` — the malformed-HTML families in the
+    corpus rely on these recovery rules being deterministic."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#root")
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _P_CLOSERS:
+            while self.stack[-1].tag in ("p", "li") and tag != "li":
+                self.stack.pop()
+            if tag == "li":
+                while self.stack[-1].tag == "li":
+                    self.stack.pop()
+        node = Node(tag, {k: (v or "") for k, v in attrs})
+        self.stack[-1].children.append(node)
+        if tag not in VOID_TAGS:
+            self.stack.append(node)
+        elif tag == "br":
+            node.children.append(Node("", text="\n"))
+
+    def handle_startendtag(self, tag, attrs):
+        node = Node(tag, {k: (v or "") for k, v in attrs})
+        self.stack[-1].children.append(node)
+
+    def handle_endtag(self, tag):
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # stray end tag: ignored
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(Node("", text=data))
+
+
+def parse_html(payload: bytes) -> Node:
+    """Decode (utf-8, replacement on bad bytes) and build the tree."""
+    text = payload.decode("utf-8", errors="replace")
+    builder = _TreeBuilder()
+    builder.feed(text)
+    builder.close()
+    return builder.root
+
+
+# ----------------------------------------------------------- text helpers
+
+
+def _subtree_text(node: Node) -> str:
+    parts: List[str] = []
+    _collect_text(node, parts)
+    return "".join(parts)
+
+
+def _collect_text(node: Node, out: List[str]) -> None:
+    if node.tag == "":
+        out.append(node.text)
+        return
+    if node.tag in ("script", "style"):
+        return
+    for c in node.children:
+        _collect_text(c, out)
+
+
+def _link_text_len(node: Node) -> int:
+    if node.tag == "a":
+        return len(collapse_ws(_subtree_text(node)))
+    return sum(_link_text_len(c) for c in node.children if c.tag != "")
+
+
+def _classes(node: Node) -> str:
+    return node.attrs.get("class", "") + " " + node.attrs.get("id", "")
+
+
+# ---------------------------------------------------------- segmentation
+
+
+@dataclass
+class _Seg:
+    """One candidate region before geometry/ordering."""
+
+    kind: BlockKind
+    text: str
+    dom_path: str
+    col: Optional[str]  # None | "left" | "right"
+
+
+def _is_boilerplate_container(node: Node) -> bool:
+    if _BOILER_CLASS_RE.search(_classes(node)):
+        return True
+    if node.tag in CONTAINER_TAGS:
+        total = len(collapse_ws(_subtree_text(node)))
+        if 0 < total < LINK_DENSITY_MAX_CHARS:
+            if _link_text_len(node) / total >= LINK_DENSITY_THRESHOLD:
+                return True
+    return False
+
+
+def _column_side(node: Node) -> Optional[str]:
+    cls = node.attrs.get("class", "")
+    if _COL_LEFT_RE.search(cls):
+        return "left"
+    if _COL_RIGHT_RE.search(cls):
+        return "right"
+    return None
+
+
+def _table_blocks(node: Node, path: str, col: Optional[str], out: List[_Seg]) -> None:
+    """Emit TableCaption (if any) then the Table grid (rows ``\\n``, cells
+    ``\\t``) — the HTML analog of table-structure recognition output
+    (``tsr/models/tatr/pipeline.py:240-297`` cells_to_csv semantics)."""
+    rows: List[str] = []
+
+    def walk_rows(n: Node) -> None:
+        for c in n.children:
+            if c.tag == "tr":
+                cells = [
+                    collapse_ws(_subtree_text(cc))
+                    for cc in c.children
+                    if cc.tag in ("td", "th")
+                ]
+                rows.append("\t".join(cells))
+            elif c.tag in ("thead", "tbody", "tfoot"):
+                walk_rows(c)
+
+    for c in node.children:
+        if c.tag == "caption":
+            cap = collapse_ws(_subtree_text(c))
+            if cap:
+                out.append(_Seg(BlockKind.TableCaption, cap, path + "/caption", col))
+    walk_rows(node)
+    grid = "\n".join(r for r in rows if r)
+    if grid:
+        out.append(_Seg(BlockKind.Table, grid, path, col))
+
+
+def _list_block(node: Node, path: str, col: Optional[str], out: List[_Seg]) -> None:
+    items = [
+        collapse_ws(_subtree_text(c)) for c in node.children if c.tag == "li"
+    ]
+    text = "\n".join("- " + it for it in items if it)
+    if text:
+        out.append(_Seg(BlockKind.List, text, path, col))
+
+
+def _segment(
+    node: Node, path: str, col: Optional[str], saw_content: List[bool], out: List[_Seg]
+) -> None:
+    counts: Dict[str, int] = {}
+    for child in node.children:
+        tag = child.tag
+        if tag == "":
+            continue
+        counts[tag] = counts.get(tag, 0) + 1
+        cpath = f"{path}/{tag}[{counts[tag]}]"
+
+        if tag in ("script", "style", "head", "template"):
+            continue
+
+        if tag in BOILER_TAGS or (
+            tag in CONTAINER_TAGS and _is_boilerplate_container(child)
+        ):
+            text = collapse_ws(_subtree_text(child))
+            if tag in ("header", "nav"):
+                kind = BlockKind.Header
+            elif tag in ("footer", "aside"):
+                kind = BlockKind.Footer
+            else:
+                kind = BlockKind.Header if not saw_content[0] else BlockKind.Footer
+            out.append(_Seg(kind, text, cpath, col))
+            continue
+
+        if tag in HEADING_TAGS:
+            text = collapse_ws(_subtree_text(child))
+            if text:
+                saw_content[0] = True
+                out.append(_Seg(BlockKind.Title, text, cpath, col))
+            continue
+
+        if tag in ("p", "blockquote"):
+            text = collapse_ws(_subtree_text(child))
+            if not text:
+                continue
+            saw_content[0] = True
+            m = _EQUATION_RE.match(text)
+            if m:
+                out.append(_Seg(BlockKind.Equation, m.group(1).strip(), cpath, col))
+            else:
+                out.append(_Seg(BlockKind.Text, text, cpath, col))
+            continue
+
+        if tag in ("ul", "ol"):
+            saw_content[0] = True
+            _list_block(child, cpath, col, out)
+            continue
+
+        if tag == "table":
+            saw_content[0] = True
+            _table_blocks(child, cpath, col, out)
+            continue
+
+        if tag == "figure":
+            out.append(_Seg(BlockKind.Figure, "", cpath, col))
+            for gc in child.children:
+                if gc.tag == "figcaption":
+                    cap = collapse_ws(_subtree_text(gc))
+                    if cap:
+                        out.append(
+                            _Seg(BlockKind.FigureCaption, cap, cpath + "/figcaption", col)
+                        )
+            continue
+
+        if tag in CONTAINER_TAGS:
+            side = _column_side(child) or col
+            if any(c.tag and c.tag not in ("script", "style") for c in child.children):
+                _segment(child, cpath, side, saw_content, out)
+            else:
+                text = collapse_ws(_subtree_text(child))
+                if text:
+                    saw_content[0] = True
+                    out.append(_Seg(BlockKind.Text, text, cpath, side))
+            continue
+
+        # inline / unknown elements at block level contribute nothing here;
+        # their text is captured when an ancestor block element is emitted.
+    return
+
+
+# -------------------------------------------------------------- geometry
+
+PAGE_W = 100.0
+# Full-width and left-column blocks are 10 units tall on a 12-unit pitch;
+# right-column blocks are 13 on a 15-unit pitch.  The deliberate stagger
+# makes column rows y-overlap, so the XY-cut's only clean cut in a column
+# zone is the x gutter → true column-major reading order (see
+# tests/test_core.py::test_xy_cut_two_column_staggered_rows_column_major).
+_H_FULL, _P_FULL = 10.0, 12.0
+_H_LEFT, _P_LEFT = 10.0, 12.0
+_H_RIGHT, _P_RIGHT = 13.0, 15.0
+
+
+def assign_geometry(segs: List[_Seg]) -> List[Tuple[float, float, float, float]]:
+    rects: List[Tuple[float, float, float, float]] = []
+    cur_y = 0.0
+    col_y: Dict[str, float] = {}
+    in_zone = False
+    for s in segs:
+        if s.col is None:
+            if in_zone:
+                cur_y = max([cur_y] + list(col_y.values()))
+                col_y = {}
+                in_zone = False
+            rects.append((2.0, cur_y, PAGE_W - 2.0, cur_y + _H_FULL))
+            cur_y += _P_FULL
+        else:
+            if not in_zone:
+                in_zone = True
+                col_y = {}
+            y0 = col_y.get(s.col, cur_y)
+            if s.col == "left":
+                rects.append((2.0, y0, 48.0, y0 + _H_LEFT))
+                col_y[s.col] = y0 + _P_LEFT
+            else:
+                rects.append((52.0, y0, PAGE_W - 2.0, y0 + _H_RIGHT))
+                col_y[s.col] = y0 + _P_RIGHT
+    return rects
+
+
+# -------------------------------------------------------------- assembly
+
+HTML_BLOCK_JOIN = "\n\n"  # frozen separator (oracle contract)
+
+
+def extract_html(payload: bytes) -> Tuple[str, List[Region]]:
+    """Run the full HTML channel.  Returns ``(extracted_text, regions)``;
+    each region's ``meta`` carries ``order`` (reading-order position) and
+    ``char_start``/``char_end`` into ``extracted_text`` (-1 when the region
+    contributed no text)."""
+    root = parse_html(payload)
+    segs: List[_Seg] = []
+    _segment(root, "", None, [False], segs)
+
+    # nested-duplicate removal: keep-first on exact (kind, text)
+    seen: set = set()
+    deduped: List[_Seg] = []
+    for s in segs:
+        key = (int(s.kind), s.text)
+        if s.text and key in seen:
+            continue
+        seen.add(key)
+        deduped.append(s)
+
+    rects = assign_geometry(deduped)
+    order = xy_cut_reflow(rects, margin=0.0) if deduped else []
+
+    regions: List[Region] = []
+    for i, s in enumerate(deduped):
+        regions.append(
+            Region(
+                rect=rects[i],
+                kind=s.kind,
+                text=s.text or None,
+                dom_path=s.dom_path,
+                page=-1,
+                meta={"order": -1, "char_start": -1, "char_end": -1},
+            )
+        )
+
+    parts: List[str] = []
+    spans: List[Tuple[int, int, int]] = []  # (region_idx, start, end)
+    pos = 0
+    for rank, i in enumerate(order):
+        regions[i].meta["order"] = rank
+        s = deduped[i]
+        if s.kind not in KEEP_KINDS or not s.text:
+            continue
+        if s.kind in (
+            BlockKind.Text,
+            BlockKind.Title,
+            BlockKind.Caption,
+            BlockKind.FigureCaption,
+            BlockKind.TableCaption,
+        ) and caption_crossref_drop(s.text):
+            continue
+        if s.kind == BlockKind.Equation:
+            chunk = "\n$$\n" + s.text + "\n$$\n"
+        else:
+            chunk = s.text
+        if parts:
+            pos += len(HTML_BLOCK_JOIN)
+        parts.append(chunk)
+        spans.append((i, pos, pos + len(chunk)))
+        pos += len(chunk)
+
+    text = HTML_BLOCK_JOIN.join(parts)
+    for i, start, end in spans:
+        regions[i].meta["char_start"] = start
+        regions[i].meta["char_end"] = end
+    return text, regions

@@ -32,6 +32,8 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
+import numpy as np
+
 from .geometry import Rect
 
 
@@ -70,62 +72,54 @@ def position_reflow(rects: Sequence[Rect], page_h: float, page_w: float) -> List
     return [i for _, i in keyed]
 
 
-def _split_1d(
-    rects: Sequence[Rect], idxs: List[int], split: float, axis: int
-) -> tuple:
-    """Partition idxs into (before, after, straddling) around ``split`` on
-    ``axis`` (0=x → ``horizontal_overlap`` :40-59; 1=y → ``vertical_overlap``
-    :114-133)."""
-    lo, hi, ov = [], [], []
-    a0, a1 = (0, 2) if axis == 0 else (1, 3)
-    for i in idxs:
-        r = rects[i]
-        start, end = r[a0], r[a1]
-        if start <= split and end <= split:
-            lo.append(i)
-        elif start >= split and end >= split:
-            hi.append(i)
-        else:
-            ov.append(i)
-    return lo, hi, ov
-
-
 def _region(
-    rects: Sequence[Rect],
-    idxs: List[int],
+    arr: np.ndarray,
+    idxs: np.ndarray,
     margin: float,
     depth: int,
     max_depth: int,
     axis: int,
 ) -> List[int]:
     """One guillotine level; ``axis`` 0 = split on x (``horizontal_region``
-    :62-111), 1 = split on y (``vertical_region`` :136-186)."""
-    if len(idxs) <= 1:
-        return list(idxs)
+    :62-111), 1 = split on y (``vertical_region`` :136-186).
+
+    The per-cut partition test is vectorized (numpy masks over the
+    still-unassigned rects) — semantics are identical to the reference's
+    per-rect branch chain (``horizontal_overlap``/``vertical_overlap``,
+    :40-59/:114-133), including relative-order preservation and the exact
+    ``<=``/``>=`` equality behavior, but a 5000-block page costs
+    milliseconds instead of the pure-Python O(n²) seconds (hot-path cost we
+    do not copy)."""
+    if idxs.shape[0] <= 1:
+        return [int(i) for i in idxs]
     if depth > max_depth:
-        return simple_position_reflow(rects, idxs)
+        return simple_position_reflow(arr, [int(i) for i in idxs])
 
     a0, a1 = (0, 2) if axis == 0 else (1, 3)
-    cuts = []
-    for i in idxs:
-        r = rects[i]
-        cuts.append(r[a0] - margin)
-        cuts.append(r[a1] + margin)
-    cuts.sort()
+    starts = arr[idxs, a0]
+    ends = arr[idxs, a1]
+    cuts = np.sort(np.concatenate([starts - margin, ends + margin]))
 
     child_margin = margin - depth * (margin / max_depth)
     out: List[int] = []
-    rest = idxs
+    rest, r_starts, r_ends = idxs, starts, ends
     for c in cuts:
-        lo, hi, ov = _split_1d(rects, rest, c, axis)
-        if not ov:
-            if not lo:
-                continue
-            out.extend(
-                _region(rects, lo, child_margin, depth + 1, max_depth, 1 - axis)
-            )
-            rest = hi
-    out.extend(_region(rects, rest, child_margin, depth + 1, max_depth, 1 - axis))
+        if rest.shape[0] == 0:
+            break
+        # a straddler has start < c < end (with start<=end this is exactly
+        # "neither wholly before nor wholly after" per the reference's
+        # branch order)
+        if bool(((r_starts < c) & (r_ends > c)).any()):
+            continue
+        lo_mask = r_ends <= c
+        if not bool(lo_mask.any()):
+            continue
+        out.extend(
+            _region(arr, rest[lo_mask], child_margin, depth + 1, max_depth, 1 - axis)
+        )
+        keep = ~lo_mask
+        rest, r_starts, r_ends = rest[keep], r_starts[keep], r_ends[keep]
+    out.extend(_region(arr, rest, child_margin, depth + 1, max_depth, 1 - axis))
     return out
 
 
@@ -137,8 +131,9 @@ def xy_cut_reflow(
 ) -> List[int]:
     """Return the reading-order permutation of ``rects``
     (``xy_cut_reflow.py:189-202``; entry uses ``max_depth=8``)."""
-    idxs = list(range(len(rects)))
-    if not idxs:
-        return idxs
+    n = len(rects)
+    if n == 0:
+        return []
+    arr = np.asarray(rects, dtype=np.float64)
     axis = 0 if horizontal_first else 1
-    return _region(rects, idxs, margin, 0, max_depth, axis)
+    return _region(arr, np.arange(n), float(margin), 0, max_depth, axis)
