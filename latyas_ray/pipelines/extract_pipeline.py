@@ -1,0 +1,224 @@
+"""The flagship streaming extraction pipeline.
+
+Physical plan (SURVEY.md §4.3) — one pass, zero shuffles on the hot path:
+
+    read_parquet(corpus shards)                    # 5 pruned columns
+      └─ map_batches(ExtractStage | extract_batch, # Arrow zero-copy
+                     batch_size=B, concurrency=(a,b))
+      └─ write part-{pid}/ parquet (atomic rename) + lineage sidecar
+      └─ groupby("lang").aggregate(...)            # metrics rollup ONLY,
+                                                   # post-write, tiny shuffle
+
+Routing is handled inside the UDF (payload magic sniff) rather than by a
+filter→branch→union plan: Ray Data has no common-subexpression reuse, so
+two filtered branches would read the corpus twice; with a heavyweight real
+model and a small PDF share, flip ``split_stages=True`` to trade the
+second read for an isolated GPU actor-pool stage.
+
+Skew: documents are the atomic unit; giant rows are bounded by the corpus
+cap (single-digit MB) and ``batch_size`` rows per batch keeps any one
+batch's payload bounded without a repartition.  Default concurrency leaves
+CPUs for the read/write stages (a pool that reserves every CPU serializes
+the pipeline).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+from typing import List, Optional
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from .. import EXTRACTOR_VERSION
+from ..pdf_extract import PDF_MAGIC
+from ..stages.extract_stage import ExtractStage, extract_batch
+from ..state.lineage import (
+    LineageRecord,
+    completed_partitions,
+    partition_input_files,
+    write_lineage,
+)
+
+PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+DEFAULT_BATCH_SIZE = 32
+
+
+def list_corpus_files(corpus_dir: str) -> List[str]:
+    return sorted(glob.glob(os.path.join(corpus_dir, "pages-*.parquet")))
+
+
+def read_pages(corpus: str | List[str]) -> rd.Dataset:
+    """Read the corpus with explicit column pruning (prune-at-the-read)."""
+    paths = list_corpus_files(corpus) if isinstance(corpus, str) else corpus
+    return rd.read_parquet(paths, columns=PAGES_COLUMNS)
+
+
+def extract_dataset(
+    ds: rd.Dataset,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    concurrency: Optional[tuple | int] = None,
+    use_actors: bool = True,
+    split_stages: bool = False,
+) -> rd.Dataset:
+    """Attach the extraction stage(s) to a pages Dataset (lazy)."""
+    if split_stages:
+        # Two-branch plan for a heavyweight stateful detector: stateless
+        # tasks take HTML rows, the actor pool takes only PDF rows.  Costs
+        # a second pass over the input (no CSE in Ray Data) — worth it only
+        # when the PDF stage holds real accelerator-bound weights.
+        def _pdf_mask(t):
+            return pc.starts_with(t["html"].cast("string"), PDF_MAGIC.decode())
+
+        html_ds = ds.map_batches(
+            lambda t: t.filter(pc.invert(_pdf_mask(t))), batch_format="pyarrow"
+        ).map_batches(extract_batch, batch_format="pyarrow", batch_size=batch_size)
+        pdf_ds = ds.map_batches(
+            lambda t: t.filter(_pdf_mask(t)), batch_format="pyarrow"
+        ).map_batches(
+            ExtractStage,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency or (1, 4),
+        )
+        return html_ds.union(pdf_ds)
+    if use_actors:
+        return ds.map_batches(
+            ExtractStage,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency or (1, 8),
+        )
+    return ds.map_batches(
+        extract_batch, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
+# ------------------------------------------------------------ resumable run
+
+
+def _checksum_xor_and_rows(part_dir: str) -> tuple:
+    """Columnar read-back of just the checksum column → order-independent
+    partition checksum (cheap: one narrow column)."""
+    acc = 0
+    n = 0
+    for f in sorted(glob.glob(os.path.join(part_dir, "*.parquet"))):
+        col = pq.read_table(f, columns=["checksum"]).column("checksum")
+        for chunk in col.chunks:
+            for v in chunk:
+                acc ^= int(str(v)[:16], 16)
+                n += 1
+    return f"{acc:016x}", n
+
+
+def run_partition(
+    pid: int,
+    files: List[str],
+    out_dir: str,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    concurrency: Optional[tuple | int] = None,
+    use_actors: bool = True,
+) -> LineageRecord:
+    """Process one partition: read its files → extract → atomic write →
+    lineage record."""
+    part_name = f"part-{pid:05d}"
+    final_dir = os.path.join(out_dir, part_name)
+    tmp_dir = os.path.join(out_dir, f".tmp-{part_name}")
+    if os.path.isdir(tmp_dir):
+        shutil.rmtree(tmp_dir)  # torn previous attempt
+    if os.path.isdir(final_dir):
+        shutil.rmtree(final_dir)  # stale output without valid lineage
+
+    ds = extract_dataset(
+        read_pages(files),
+        batch_size=batch_size,
+        concurrency=concurrency,
+        use_actors=use_actors,
+    )
+    ds.write_parquet(tmp_dir)
+    os.replace(tmp_dir, final_dir)
+
+    checksum, n_rows = _checksum_xor_and_rows(final_dir)
+    rec = LineageRecord(
+        pid=pid,
+        input_files=[os.path.basename(f) for f in files],
+        n_rows=n_rows,
+        checksum_xor=checksum,
+        extractor_version=EXTRACTOR_VERSION,
+    )
+    write_lineage(out_dir, rec)
+    return rec
+
+
+def run_resumable(
+    corpus_dir: str,
+    out_dir: str,
+    n_partitions: int = 8,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    concurrency: Optional[tuple | int] = None,
+    use_actors: bool = True,
+    max_partitions: Optional[int] = None,
+) -> dict:
+    """Resumable whole-corpus run.  Completed partitions (valid lineage +
+    output dir + matching extractor version) are skipped; the rest are
+    (re)processed.  ``max_partitions`` caps work this call (used by the
+    kill-resume test to simulate preemption)."""
+    files = list_corpus_files(corpus_dir)
+    parts = partition_input_files(files, n_partitions)
+    os.makedirs(out_dir, exist_ok=True)
+    done = completed_partitions(out_dir, EXTRACTOR_VERSION)
+
+    processed, skipped = [], []
+    for pid, part_files in enumerate(parts):
+        if pid in done:
+            skipped.append(pid)
+            continue
+        if max_partitions is not None and len(processed) >= max_partitions:
+            continue
+        run_partition(
+            pid, part_files, out_dir,
+            batch_size=batch_size, concurrency=concurrency, use_actors=use_actors,
+        )
+        processed.append(pid)
+    return {
+        "n_partitions": len(parts),
+        "processed": processed,
+        "skipped": skipped,
+        "complete": len(processed) + len(skipped) == len(parts),
+    }
+
+
+# ------------------------------------------------------------ metric rollup
+
+
+def rollup_metrics(out_dir: str, write_json: bool = True) -> "object":
+    """Per-lang/per-payload metric rollup over the written output — the
+    job's ONLY groupby, off the hot path (north rule; SURVEY.md §2.5).
+    Returns a small pandas DataFrame."""
+    from ray.data.aggregate import Count, Sum
+
+    files = sorted(glob.glob(os.path.join(out_dir, "part-*", "*.parquet")))
+    ds = rd.read_parquet(files, columns=["lang", "payload_kind", "n_bytes", "n_regions"])
+    out = (
+        ds.groupby(["lang", "payload_kind"])
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_bytes", alias_name="total_bytes"),
+            Sum("n_regions", alias_name="total_regions"),
+        )
+        .to_pandas()
+        .sort_values(["lang", "payload_kind"])
+        .reset_index(drop=True)
+    )
+    if write_json:
+        path = os.path.join(out_dir, "metrics.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(out.to_dict(orient="records"), f, sort_keys=True)
+        os.replace(tmp, path)
+    return out

@@ -1,0 +1,73 @@
+"""The extraction batch UDF / actor stage.
+
+Two entry shapes over the same kernel:
+
+- :func:`extract_batch` — a plain function → Ray schedules **stateless
+  tasks** (cheap, elastic, retry-safe).  The HTML channel is pure
+  string/DOM work, so tasks suffice.
+- :class:`ExtractStage` — a callable class → Ray builds an **actor pool**
+  (``map_batches(ExtractStage, concurrency=(a, b), batch_size=B)``).  This
+  is the stage shape the reference's model pipelines require: weights load
+  once per actor in ``__init__`` (the reference instead loads them at
+  module import, ``pdf2txt.py:11-19``, or per ctor,
+  ``ultralytics_layout_model.py:31-52``; and rebuilds an ONNX session per
+  call at ``texteller_layout_model.py:70-71`` — an anti-pattern we do not
+  copy).  The stub "detector" here is deterministic, so the actor's warm
+  state is just precompiled machinery; real YOLO/RT-DETR weights would
+  slot into ``__init__`` without touching the pipeline
+  (``LayoutModel.detect`` contract, ``layout_model.py:23-29``).
+
+Batches are zero-copy Arrow in / Arrow out.  The per-row Python loop is
+inherent to document parsing (the atomic work unit is one document, as one
+page is for the reference); batch-level overheads are kept out of the loop.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import pyarrow as pa
+
+from ..extract import extract_one
+from ..schema import EXTRACTED_SCHEMA
+
+
+def _rows(batch: pa.Table) -> Iterable[tuple]:
+    urls = batch.column("url").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    texts = batch.column("text").to_pylist() if "text" in batch.column_names else [None] * len(urls)
+    langs = batch.column("lang").to_pylist() if "lang" in batch.column_names else [None] * len(urls)
+    return zip(urls, htmls, texts, langs)
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """Extract every document of one Arrow batch → extracted-output batch."""
+    out = {name: [] for name in EXTRACTED_SCHEMA.names}
+    for url, html, text, lang in _rows(batch):
+        res = extract_one(url, html or b"", text, lang)
+        for name in EXTRACTED_SCHEMA.names:
+            out[name].append(res[name])
+    arrays = [
+        pa.array(out[field.name], type=field.type) for field in EXTRACTED_SCHEMA
+    ]
+    return pa.Table.from_arrays(arrays, schema=EXTRACTED_SCHEMA)
+
+
+class ExtractStage:
+    """Actor-pool form of :func:`extract_batch`.
+
+    ``__init__`` is the once-per-actor warm-up slot (model weights, ONNX
+    sessions, compiled rule tables); ``__call__`` runs per batch.
+    """
+
+    def __init__(self, model_name: Optional[str] = None) -> None:
+        # Warm state: importing the extraction modules compiles every regex
+        # and rule table once per actor process.  A real detector would
+        # load weights here, keyed by ``model_name`` (the analog of
+        # ``from_pretrained(name)``, latyas_config.py:58-71).
+        self.model_name = model_name or "stub-layout-detector/1"
+        import latyas_ray.html_extract  # noqa: F401 — force compile in-actor
+        import latyas_ray.pdf_extract  # noqa: F401
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return extract_batch(batch)

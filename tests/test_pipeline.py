@@ -1,0 +1,142 @@
+"""End-to-end pipeline tests: Ray output ≡ serial oracle bytes under any
+partitioning, resumability, and metric rollup (FIXTURES.md §5)."""
+
+import glob
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from latyas_ray import EXTRACTOR_VERSION
+from latyas_ray.corpus import generate_corpus, make_row
+from latyas_ray.extract import extract_one
+from latyas_ray.pipelines.extract_pipeline import (
+    extract_dataset,
+    list_corpus_files,
+    read_pages,
+    rollup_metrics,
+    run_resumable,
+)
+from latyas_ray.state.lineage import completed_partitions, partition_input_files
+
+N_ROWS = 96
+N_SHARDS = 8
+
+
+@pytest.fixture(scope="session")
+def corpus_dir(ray_session, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("corpus"))
+    generate_corpus(d, N_ROWS, n_shards=N_SHARDS)
+    return d
+
+
+@pytest.fixture(scope="session")
+def golden(corpus_dir):
+    """Serial oracle over the same rows: url → (extracted_text, checksum,
+    final_text)."""
+    out = {}
+    for d in range(N_ROWS):
+        row = make_row(d)
+        res = extract_one(row["url"], row["html"], row["text"], row["lang"])
+        out[row["url"]] = res
+    return out
+
+
+def _collect(ds):
+    t = ds.to_pandas()
+    return {r.url: r for r in t.itertuples()}
+
+
+def test_corpus_shards_on_disk(corpus_dir):
+    files = list_corpus_files(corpus_dir)
+    assert len(files) == N_SHARDS
+    total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    assert total == N_ROWS
+
+
+def test_pipeline_matches_oracle_bytes(ray_session, corpus_dir, golden):
+    ds = extract_dataset(read_pages(corpus_dir), batch_size=16, use_actors=False)
+    got = _collect(ds)
+    assert len(got) == N_ROWS
+    for url, res in golden.items():
+        assert got[url].extracted_text == res["extracted_text"], url
+        assert got[url].checksum == res["checksum"], url
+        assert got[url].final_text == res["final_text"], url
+        assert got[url].text_source == res["text_source"], url
+
+
+def test_pipeline_distribution_invariance(ray_session, corpus_dir, golden):
+    """Byte-identical output across batch sizes and stage shapes."""
+    for kwargs in (
+        {"batch_size": 4, "use_actors": False},
+        {"batch_size": 64, "use_actors": True, "concurrency": (1, 2)},
+        {"batch_size": 16, "use_actors": False, "split_stages": True},
+    ):
+        ds = extract_dataset(read_pages(corpus_dir), **kwargs)
+        got = _collect(ds)
+        assert len(got) == N_ROWS, kwargs
+        for url, res in golden.items():
+            assert got[url].extracted_text == res["extracted_text"], (url, kwargs)
+
+
+def test_resumable_run_and_kill_resume(ray_session, corpus_dir, golden, tmp_path):
+    out_dir = str(tmp_path / "out")
+
+    # simulate preemption: only 3 partitions complete, then the job dies
+    r1 = run_resumable(corpus_dir, out_dir, n_partitions=N_SHARDS,
+                       use_actors=False, max_partitions=3)
+    assert r1["processed"] == [0, 1, 2] and not r1["complete"]
+    done = completed_partitions(out_dir, EXTRACTOR_VERSION)
+    assert set(done) == {0, 1, 2}
+    mtimes_before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(out_dir, "part-*", "*.parquet"))
+    }
+
+    # resume: completed partitions untouched, the rest processed
+    r2 = run_resumable(corpus_dir, out_dir, n_partitions=N_SHARDS, use_actors=False)
+    assert r2["skipped"] == [0, 1, 2]
+    assert r2["complete"]
+    for f, mt in mtimes_before.items():
+        assert os.path.getmtime(f) == mt, f"completed partition rewritten: {f}"
+
+    # final union is byte-identical to the oracle
+    files = sorted(glob.glob(os.path.join(out_dir, "part-*", "*.parquet")))
+    seen = {}
+    for f in files:
+        t = pq.read_table(f, columns=["url", "extracted_text", "checksum"])
+        for url, text, ck in zip(*(t.column(c).to_pylist() for c in ("url", "extracted_text", "checksum"))):
+            seen[url] = (text, ck)
+    assert len(seen) == N_ROWS
+    for url, res in golden.items():
+        assert seen[url] == (res["extracted_text"], res["checksum"]), url
+
+    # lineage records carry version + checksum + inputs
+    rec = done[0]
+    assert rec.extractor_version == EXTRACTOR_VERSION
+    assert rec.n_rows > 0 and len(rec.checksum_xor) == 16
+    assert rec.input_files == [os.path.basename(p) for p in
+                               partition_input_files(list_corpus_files(corpus_dir), N_SHARDS)[0]]
+
+    # metrics rollup — the only groupby, post-write
+    m = rollup_metrics(out_dir)
+    assert m["n_docs"].sum() == N_ROWS
+    assert os.path.exists(os.path.join(out_dir, "metrics.json"))
+    with open(os.path.join(out_dir, "metrics.json")) as f:
+        assert sum(r["n_docs"] for r in json.load(f)) == N_ROWS
+
+
+def test_stale_version_reprocessed(ray_session, corpus_dir, tmp_path):
+    out_dir = str(tmp_path / "out2")
+    run_resumable(corpus_dir, out_dir, n_partitions=4, use_actors=False,
+                  max_partitions=1)
+    # tamper: pretend partition 0 was written by an older extractor
+    lin = os.path.join(out_dir, "_lineage", "part-00000.json")
+    with open(lin) as f:
+        rec = json.load(f)
+    rec["extractor_version"] = "latyas-ray-extractor/0"
+    with open(lin, "w") as f:
+        json.dump(rec, f)
+    r = run_resumable(corpus_dir, out_dir, n_partitions=4, use_actors=False)
+    assert 0 in r["processed"]  # stale version → redone
