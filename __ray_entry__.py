@@ -1,16 +1,19 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the latyas_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline on the sf0.001 synthetic
+corpus; ``queries()`` exposes every implemented operator/pipeline;
+``oracle_sql()`` gives the DuckDB-verifiable subset.  Ray is initialised
+by the driver BEFORE import — nothing here calls ``ray.init`` /
+``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Extraction queries are verified against the *serial oracle's* golden
+snapshot (built once into /tmp and read by DuckDB via ``read_parquet``) —
+the driver's hash compare is then exactly the "distributed pipeline ≡
+serial oracle, byte-identical per url" invariant.  Ops over the testdata
+tables are verified against plain ANSI SQL on the pre-registered views.
+Entries without SQL (minhash clusters, simhash, lang-id, IVF-ANN,
+fingerprints, media features) are deterministic and covered by pytest;
+the driver records rows-only checks for them.
 """
 
 from __future__ import annotations
@@ -18,27 +21,196 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from latyas_ray.corpus import ensure_corpus_for_sf, sf_label_from_dir
+from latyas_ray.golden import ensure_golden, golden_paths
+from latyas_ray.ops import dedup as _dedup
+from latyas_ray.ops import events as _events
+from latyas_ray.ops import relational as _relational
+from latyas_ray.ops import similarity as _similarity
+from latyas_ray.ops import textstats as _textstats
+from latyas_ray.pipelines.extract_pipeline import extract_dataset, read_pages
+
+_EXTRACT_COLUMNS = [
+    "url", "payload_kind", "text_source", "n_regions", "extracted_text", "checksum",
+]
+
+
+def _extract_ds(sf_dir: str):
+    sf = sf_label_from_dir(sf_dir)
+    corpus = ensure_corpus_for_sf(sf)
+    return extract_dataset(read_pages(corpus), batch_size=32,
+                           use_actors=True, concurrency=(1, 8))
+
+
+def _q_extract_pipeline(sf_dir: str):
+    ensure_golden(sf_label_from_dir(sf_dir))  # build the oracle side too
+    return _extract_ds(sf_dir).select_columns(_EXTRACT_COLUMNS)
+
+
+def _q_extract_regions(sf_dir: str):
+    import pyarrow as pa
+
+    from latyas_ray.golden import GOLDEN_REGIONS_SCHEMA
+
+    ensure_golden(sf_label_from_dir(sf_dir))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out = {name: [] for name in GOLDEN_REGIONS_SCHEMA.names}
+        regions_col = batch.column("regions").to_pylist()
+        urls = batch.column("url").to_pylist()
+        for url, regions in zip(urls, regions_col):
+            for reg in regions or []:
+                out["url"].append(url)
+                out["region_id"].append(reg["region_id"])
+                out["kind"].append(reg["kind"])
+                out["order_idx"].append(reg["order"])
+                out["page"].append(reg["page"])
+                out["char_start"].append(reg["char_start"])
+                out["char_end"].append(reg["char_end"])
+        return pa.table(out, schema=GOLDEN_REGIONS_SCHEMA)
+
+    return _extract_ds(sf_dir).select_columns(["url", "regions"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: synth corpus at sf0.001 → streaming extraction pipeline."""
+    corpus = ensure_corpus_for_sf("sf0.001")
+    return extract_dataset(read_pages(corpus), batch_size=32,
+                           use_actors=True, concurrency=(1, 8))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # extraction pipelines (verified vs serial-oracle golden snapshot)
+        "extract_pipeline": _q_extract_pipeline,
+        "extract_regions": _q_extract_regions,
+        # text analysis over documents
+        "doc_stats_by_lang": _textstats.doc_stats_by_lang,
+        "token_counts": _textstats.token_counts,
+        "quality_stats": _textstats.quality_stats,
+        "top_docs": _textstats.top_docs,
+        "lang_id": _textstats.lang_id,
+        "doc_fingerprints": _textstats.doc_fingerprints,
+        # dedup family
+        "dedup_exact": _dedup.dedup_exact,
+        "minhash_dedup": _dedup.minhash_dedup,
+        "simhash_fingerprints": _dedup.simhash_fingerprints,
+        # similarity search over embeddings
+        "ann_topk": _similarity.ann_topk,
+        "ann_topk_ivf": _similarity.ann_topk_ivf,
+        "embedding_neardup": _similarity.embedding_neardup_pairs,
+        # stream-shaped ops over events
+        "events_window_counts": _events.events_window_counts,
+        "sessionize": _events.sessionize,
+        # relational patterns (partial agg, broadcast join)
+        "lineitem_pricing_summary": _relational.lineitem_pricing_summary,
+        "orders_by_nation": _relational.orders_by_nation,
+        # multimodal plumbing (stubbed decode, real Ray stage)
+        "media_features": _q_media_features,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _q_media_features(sf_dir: str):
+    from latyas_ray.ops.multimodal import generate_media_table, media_features
+
+    path = generate_media_table("/tmp/latyas_ray/media/media.parquet", n_rows=200)
+    return media_features(path).select_columns(["media_id", "media_type", "decoded"])
+
+
+_GOLDEN_SF = "sf0.01"  # the driver's correctness scale factor
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    golden, golden_regions = golden_paths(_GOLDEN_SF)
+    return {
+        "extract_pipeline": (
+            "SELECT url, payload_kind, text_source, n_regions, extracted_text, "
+            f"checksum FROM read_parquet('{golden}')"
+        ),
+        "extract_regions": (
+            "SELECT url, region_id, kind, order_idx, page, char_start, char_end "
+            f"FROM read_parquet('{golden_regions}')"
+        ),
+        "doc_stats_by_lang": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+            "CAST(max(n_chars) AS BIGINT) AS max_chars, "
+            "CAST(min(n_chars) AS BIGINT) AS min_chars "
+            "FROM documents GROUP BY lang"
+        ),
+        "token_counts": (
+            "SELECT doc_id, "
+            "CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END "
+            "AS n_tokens, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) "
+            "AS BIGINT) AS n_tokens_bpe "
+            "FROM documents"
+        ),
+        "quality_stats": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_text, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha, "
+            "CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit, "
+            "CAST(len(regexp_extract_all(text, '\\s')) AS BIGINT) AS n_space, "
+            "CAST(length(text) - len(regexp_extract_all(text, '[A-Za-z]')) "
+            "- len(regexp_extract_all(text, '[0-9]')) "
+            "- len(regexp_extract_all(text, '\\s')) AS BIGINT) AS n_other "
+            "FROM documents"
+        ),
+        "top_docs": (
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY n_chars DESC, doc_id LIMIT 20"
+        ),
+        "dedup_exact": (
+            "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, "
+            "CAST(count(*) AS BIGINT) AS n_dups FROM documents GROUP BY text"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id, embedding FROM embeddings "
+            "ORDER BY vec_id LIMIT 5), "
+            "sims AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, "
+            "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "CAST(n.embedding AS DOUBLE[])), 6) AS sim "
+            "FROM q CROSS JOIN embeddings n WHERE n.vec_id <> q.vec_id), "
+            "ranked AS (SELECT query_id, neighbor_id, "
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY sim DESC, neighbor_id) AS rnk FROM sims) "
+            'SELECT query_id, CAST(rnk AS BIGINT) AS "rank", neighbor_id '
+            "FROM ranked WHERE rnk <= 10"
+        ),
+        "embedding_neardup": (
+            "SELECT a.vec_id AS a, b.vec_id AS b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) >= 0.5"
+        ),
+        "events_window_counts": (
+            "SELECT event_type, date_trunc('hour', ts) AS window_start, "
+            "CAST(count(*) AS BIGINT) AS n_events "
+            "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        "sessionize": (
+            "WITH d AS (SELECT user_id, ts, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END "
+            "AS new_s FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, "
+            "CAST(count(*) AS BIGINT) AS n_events FROM d GROUP BY user_id"
+        ),
+        "lineitem_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_base_cents "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "orders_by_nation": (
+            "SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+    }

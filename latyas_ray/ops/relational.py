@@ -1,0 +1,90 @@
+"""Relational demos over the TPC-H-ish tables — showing the engine's
+partial-aggregation and broadcast-join patterns on non-document data.
+
+Outputs are integer-valued (cents / counts) so the DuckDB oracle matches
+exactly — float accumulation order never enters the comparison.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from .common import read_table
+
+
+def lineitem_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-shaped rollup with exact integer math:
+    (l_returnflag, l_linestatus, n_rows, sum_qty, sum_base_cents)."""
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(
+            qty=batch["l_quantity"].astype("int64"),
+            cents=np.round(batch["l_extendedprice"] * 100).astype("int64"),
+            one=1,
+        )
+        return (
+            batch.groupby(["l_returnflag", "l_linestatus"])[["one", "qty", "cents"]]
+            .sum()
+            .reset_index()
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("one", alias_name="n_rows"),
+            Sum("qty", alias_name="sum_qty"),
+            Sum("cents", alias_name="sum_base_cents"),
+        )
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {"n_rows": "int64", "sum_qty": "int64", "sum_base_cents": "int64"}
+    )
+
+
+def orders_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Broadcast join: customer→nation lookup shipped once via ``ray.put``
+    and applied inside ``map_batches`` — no shuffle join (the small-side
+    broadcast pattern, SURVEY.md §2.4/J3).  Output: (n_name, n_orders)."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    cust_to_nation = dict(
+        zip(
+            cust["c_custkey"].astype("int64"),
+            cust["c_nationkey"].map(
+                dict(zip(nation["n_nationkey"], nation["n_name"]))
+            ),
+        )
+    )
+    lookup_ref = ray.put(cust_to_nation)
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(lookup_ref)
+        n = batch["o_custkey"].astype("int64").map(lookup)
+        return n.value_counts().rename_axis("n_name").rename("n_orders").reset_index()
+
+    out = (
+        orders.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("n_name")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out

@@ -1,0 +1,201 @@
+"""Text-analysis ops over the ``documents`` table: aggregate stats, token
+counting, quality components, language ID, fingerprinting, top-k.
+
+All hot loops are vectorized (pandas/pyarrow string kernels or numpy);
+aggregates use the partial-agg pattern (per-batch combine → tiny final
+groupby) so the shuffle carries per-key partials, not documents.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Sum, Max, Min
+
+from .common import read_table
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
+# Expressible identically in DuckDB: regexp_extract_all(text, ...).
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def doc_stats_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Per-lang rollup: n_docs, total/max/min chars.
+
+    Partial-aggregate inside ``map_batches`` (one row per lang per batch),
+    then a groupby over the tiny partial set — at 10^12 rows the shuffle
+    moves O(batches × langs) rows, not documents.
+    """
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("lang")["n_chars"].agg(["count", "sum", "max", "min"]).reset_index()
+        return g.rename(columns={"count": "n_docs", "sum": "total_chars",
+                                 "max": "max_chars", "min": "min_chars"})
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=8192)
+    out = (
+        partials.groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_chars", alias_name="total_chars"),
+            Max("max_chars", alias_name="max_chars"),
+            Min("min_chars", alias_name="min_chars"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return out.astype({"n_docs": "int64", "total_chars": "int64",
+                       "max_chars": "int64", "min_chars": "int64"})
+
+
+def token_counts(sf_dir: str) -> rd.Dataset:
+    """Per-doc token counts: whitespace tokens and BPE-ish pre-tokens."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pat = re.compile(BPE_TOKEN_PATTERN)
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": text.str.split().str.len().astype("int64"),
+                "n_tokens_bpe": text.map(lambda s: len(pat.findall(s))).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(counts, batch_format="pandas", batch_size=8192)
+
+
+def quality_stats(sf_dir: str) -> rd.Dataset:
+    """Per-doc quality-score components (integer-valued so an SQL oracle
+    can match exactly): char/alpha/digit/space/punct counts."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        n_chars = text.str.len().astype("int64")
+        n_alpha = text.str.count(r"[A-Za-z]").astype("int64")
+        n_digit = text.str.count(r"[0-9]").astype("int64")
+        n_space = text.str.count(r"\s").astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars_text": n_chars,
+                "n_alpha": n_alpha,
+                "n_digit": n_digit,
+                "n_space": n_space,
+                "n_other": n_chars - n_alpha - n_digit - n_space,
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pandas", batch_size=8192)
+
+
+def top_docs(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Top-k longest documents (deterministic tie-break on doc_id)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    out = (
+        ds.sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return out[["doc_id", "n_chars"]]
+
+
+# ------------------------------------------------------------- language ID
+
+_STOPWORDS = {
+    "en": {"the", "a", "and", "of", "to", "in", "is", "it", "for", "on"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "de", "du", "pour"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "de", "para"},
+}
+
+
+class LangIdStage:
+    """Actor-pool language-ID stage: n-gram/stopword tables built once per
+    actor in ``__init__`` (the stateful-stage pattern — SURVEY.md §2.3)."""
+
+    def __init__(self) -> None:
+        self.word_re = re.compile(r"[a-zA-Z]+")
+        self.tables = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+
+    def _predict(self, text: str) -> str:
+        if not text:
+            return "und"
+        # CJK characters dominate → zh
+        cjk = sum(1 for ch in text[:400] if "一" <= ch <= "鿿")
+        if cjk > len(text[:400]) * 0.2:
+            return "zh"
+        words = [w.lower() for w in self.word_re.findall(text[:2000])]
+        if not words:
+            return "und"
+        best, best_hits = "und", 0
+        for lang in sorted(self.tables):  # sorted → deterministic ties
+            hits = sum(1 for w in words if w in self.tables[lang])
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best if best_hits > 0 else "en"
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": batch["text"].fillna("").map(self._predict),
+            }
+        )
+
+
+def lang_id(sf_dir: str) -> rd.Dataset:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(LangIdStage, batch_format="pandas", batch_size=4096,
+                          concurrency=(1, 4))
+
+
+# ---------------------------------------------------------- fingerprinting
+
+
+def doc_fingerprints(sf_dir: str, window: int = 16) -> rd.Dataset:
+    """Rolling-hash (winnowing-style) document fingerprint: min 64-bit
+    window hash + full-content md5 prefix as int64.  Deterministic,
+    mergeable, order-independent across partitions."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        min_hashes = np.empty(len(batch), dtype=np.int64)
+        md5s = np.empty(len(batch), dtype=np.int64)
+        for i, s in enumerate(batch["text"].fillna("")):
+            data = s.encode("utf-8")
+            md5s[i] = np.frombuffer(
+                hashlib.md5(data).digest()[:8], dtype=np.int64
+            )[0]
+            if len(data) < window:
+                min_hashes[i] = md5s[i]
+                continue
+            arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+            # polynomial rolling hash over sliding windows, vectorized via
+            # cumulative powers (mod 2^64 wraparound arithmetic)
+            base = np.uint64(1099511628211)
+            pw = np.ones(window, dtype=np.uint64)
+            for j in range(1, window):
+                pw[j] = pw[j - 1] * base
+            weights = pw[::-1]
+            n_win = len(arr) - window + 1
+            hashes = np.zeros(n_win, dtype=np.uint64)
+            for j in range(window):
+                hashes += arr[j: j + n_win] * weights[j]
+            min_hashes[i] = hashes.min().astype(np.int64)
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"], "min_window_hash": min_hashes, "md5_64": md5s}
+        )
+
+    return ds.map_batches(fp, batch_format="pandas", batch_size=4096)

@@ -1,0 +1,122 @@
+"""Driver-mimic correctness gate: run every ``queries()`` entry that has an
+``oracle_sql()`` and compare against DuckDB exactly the way the driver
+does (schema + row count + order-insensitive values).
+
+Ops queries run on the real testdata at sf0.01.  Extraction queries run on
+the synthetic corpus at sf0.001 (same mechanism, smaller scale) with the
+golden paths rewritten accordingly.
+"""
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="session")
+def entry_mod(ray_session):
+    import __ray_entry__ as e
+
+    return e
+
+
+@pytest.fixture(scope="session")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+def _to_pandas(res):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _compare(name, ray_df, sql_df):
+    a, b = _normalize(ray_df), _normalize(sql_df)
+    assert list(a.columns) == list(b.columns), (
+        f"{name}: column mismatch {list(a.columns)} vs {list(b.columns)}"
+    )
+    assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, obj=name)
+
+
+OPS_QUERIES = [
+    "doc_stats_by_lang", "token_counts", "quality_stats", "top_docs",
+    "dedup_exact", "ann_topk", "embedding_neardup", "events_window_counts",
+    "sessionize", "lineitem_pricing_summary", "orders_by_nation",
+]
+
+
+@pytest.mark.parametrize("name", OPS_QUERIES)
+def test_ops_query_matches_oracle(entry_mod, con, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    ray_df = _to_pandas(q(SF_DIR))
+    sql_df = con.execute(sql).fetchdf()
+    _compare(name, ray_df, sql_df)
+
+
+def test_extraction_queries_match_golden(entry_mod, con):
+    """Same mechanism as the driver, at sf0.001: distributed pipeline vs
+    serial-oracle golden snapshot read by DuckDB."""
+    from latyas_ray.golden import ensure_golden, golden_paths
+
+    sf = "sf0.001"
+    sf_dir = f"/root/testdata/{sf}"
+    ensure_golden(sf)
+    gp, rp = golden_paths(sf)
+    gp01, rp01 = golden_paths("sf0.01")
+
+    for name in ("extract_pipeline", "extract_regions"):
+        sql = entry_mod.oracle_sql()[name].replace(gp01, gp).replace(rp01, rp)
+        ray_df = _to_pandas(entry_mod.queries()[name](sf_dir))
+        sql_df = con.execute(sql).fetchdf()
+        _compare(name, ray_df, sql_df)
+
+
+def test_rows_only_queries_run(entry_mod):
+    """Queries without SQL oracles still must run and return rows with a
+    stable schema (the driver's weaker check)."""
+    for name in ("lang_id", "doc_fingerprints", "minhash_dedup",
+                 "simhash_fingerprints", "ann_topk_ivf", "media_features"):
+        df = _to_pandas(entry_mod.queries()[name](SF_DIR))
+        assert len(df) > 0, name
+        df2 = _to_pandas(entry_mod.queries()[name](SF_DIR))
+        pd.testing.assert_frame_equal(
+            _normalize(df), _normalize(df2), check_dtype=False, obj=name
+        )
+
+
+def test_entry_smoke(entry_mod):
+    ds = entry_mod.entry()
+    df = _to_pandas(ds)
+    assert len(df) == 1000
+    assert "extracted_text" in df.columns and "checksum" in df.columns
