@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline: the flagship extraction pipeline (read → actor-pool extract →
+write parquet) over the synthetic corpus matching ``$GRAFT_SF_DIR``'s
+scale factor (default sf0.1 = 100k docs), plus per-op timings for the
+ops queries over the real testdata tables.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ...}
+
+``--scaling``: runs the headline twice in fresh processes
+(RAY_GRAFT_CPUS=8 and =32) on the same cached corpus and reports both
+throughputs plus scaling efficiency (sandbox substitution for the
+north rule's N vs 4N cluster sizes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _consume(res) -> int:
+    """Force full execution of a query result; return row count."""
+    try:
+        import ray.data as rd
+
+        if isinstance(res, rd.Dataset):
+            n = 0
+            for b in res.iter_batches(batch_size=65536, batch_format="pyarrow"):
+                n += b.num_rows
+            return n
+    except ImportError:
+        pass
+    return len(res)
+
+
+def run_bench() -> dict:
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=ncpu,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import logging
+
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from latyas_ray.corpus import SF_ROWS, ensure_corpus_for_sf, sf_label_from_dir
+    from latyas_ray.pipelines.extract_pipeline import (
+        extract_dataset,
+        list_corpus_files,
+        read_pages,
+    )
+
+    sf = sf_label_from_dir(sf_dir)
+    corpus = ensure_corpus_for_sf(sf)  # untimed; cached across runs
+    for f in list_corpus_files(corpus):  # warm the OS page cache (untimed)
+        with open(f, "rb") as fh:
+            fh.read()
+
+    n_docs = SF_ROWS[sf]
+    out_dir = f"/tmp/latyas_ray/bench_out/{sf}-cpus{ncpu}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    t0 = time.time()
+    ds = extract_dataset(
+        read_pages(corpus),
+        batch_size=32,
+        use_actors=True,
+        concurrency=(2, max(2, ncpu - 2)),
+    )
+    ds.write_parquet(out_dir)
+    t_extract = time.time() - t0
+
+    queries = {"extract_pipeline": round(t_extract, 3)}
+
+    from latyas_ray.ops import dedup, events, relational, similarity, textstats
+
+    op_fns = {
+        "doc_stats_by_lang": textstats.doc_stats_by_lang,
+        "token_counts": textstats.token_counts,
+        "quality_stats": textstats.quality_stats,
+        "dedup_exact": dedup.dedup_exact,
+        "minhash_dedup": dedup.minhash_dedup,
+        "simhash_fingerprints": dedup.simhash_fingerprints,
+        "ann_topk": similarity.ann_topk,
+        "embedding_neardup": similarity.embedding_neardup_pairs,
+        "events_window_counts": events.events_window_counts,
+        "sessionize": events.sessionize,
+        "lineitem_pricing_summary": relational.lineitem_pricing_summary,
+        "orders_by_nation": relational.orders_by_nation,
+    }
+    for name, fn in op_fns.items():
+        t0 = time.time()
+        _consume(fn(sf_dir))
+        queries[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "extraction_wall_sec",
+        "value": round(t_extract, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": ncpu,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / t_extract, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same pipeline, same input, fresh processes at 8 and 32 CPUs."""
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "docs_per_sec_8": r_lo["docs_per_sec"],
+        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "sf": r_hi["sf"],
+        "n_docs": r_hi["n_docs"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

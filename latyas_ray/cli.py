@@ -1,0 +1,90 @@
+"""Command-line entry points — the engine's analog of the reference CLIs
+(``latyas/tools/pdf2text.py:49-62`` argparse flow).
+
+Subcommands::
+
+    python -m latyas_ray.cli gen-corpus --out DIR --rows N [--shards K]
+    python -m latyas_ray.cli extract    --in CORPUS --out DIR
+                                        [--partitions N] [--batch-size B]
+                                        [--no-actors] [--metrics]
+    python -m latyas_ray.cli metrics    --out DIR
+
+The CLI owns its Ray session (guarded init / shutdown); library code
+never initializes Ray.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(
+            address="local", include_dashboard=False,
+            ignore_reinit_error=True, logging_level="ERROR",
+        )
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    return ray
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="latyas_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen-corpus", help="generate the synthetic corpus")
+    g.add_argument("--out", required=True)
+    g.add_argument("--rows", type=int, required=True)
+    g.add_argument("--shards", type=int, default=None)
+
+    e = sub.add_parser("extract", help="run the resumable extraction job")
+    e.add_argument("--in", dest="corpus", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--partitions", type=int, default=8)
+    e.add_argument("--batch-size", type=int, default=32)
+    e.add_argument("--no-actors", action="store_true")
+    e.add_argument("--metrics", action="store_true",
+                   help="run the per-lang rollup after the job completes")
+
+    m = sub.add_parser("metrics", help="(re)compute the per-lang rollup")
+    m.add_argument("--out", required=True)
+
+    args = p.parse_args(argv)
+    ray = _ray_session(args.num_cpus)
+    try:
+        if args.cmd == "gen-corpus":
+            from .corpus import generate_corpus
+
+            out = generate_corpus(args.out, args.rows, n_shards=args.shards)
+            print(json.dumps({"corpus": out, "rows": args.rows}))
+        elif args.cmd == "extract":
+            from .pipelines.extract_pipeline import rollup_metrics, run_resumable
+
+            res = run_resumable(
+                args.corpus, args.out,
+                n_partitions=args.partitions,
+                batch_size=args.batch_size,
+                use_actors=not args.no_actors,
+            )
+            if args.metrics and res["complete"]:
+                rollup_metrics(args.out)
+            print(json.dumps(res))
+        elif args.cmd == "metrics":
+            from .pipelines.extract_pipeline import rollup_metrics
+
+            df = rollup_metrics(args.out)
+            print(df.to_json(orient="records"))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -88,6 +88,8 @@ class FakeImageDecoder:
         return raw @ self.projection
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # failed decodes emit a zero vector (uniform shape keeps the column
+        # tensor-castable downstream) with decoded=False as the signal
         feats, ok = [], []
         for payload, mtype in zip(
             batch.column("payload").to_pylist(), batch.column("media_type").to_pylist()
@@ -96,7 +98,7 @@ class FakeImageDecoder:
                 feats.append([float(x) for x in self._decode(payload, mtype)])
                 ok.append(True)
             except NotImplementedError:
-                feats.append(None)
+                feats.append([0.0] * FEATURE_DIM)
                 ok.append(False)
         return pa.table(
             {

@@ -1,0 +1,130 @@
+"""Unit tests for ops with planted fixtures: near-dup clustering finds the
+planted duplicates, simhash proximity, fingerprints, IVF recall, and the
+multimodal stage plumbing."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from latyas_ray.ops.dedup import (
+    MinHashStage,
+    SimHashStage,
+    _shingles,
+    jaccard,
+    minhash_dedup,
+    dedup_exact,
+)
+
+
+@pytest.fixture(scope="module")
+def planted_dir(ray_session, tmp_path_factory):
+    """A documents table with planted exact and near duplicates."""
+    d = tmp_path_factory.mktemp("planted")
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest before nightfall comes down") * 3
+    near = base.replace("green", "blue", 1)  # high word-shingle overlap
+    texts = [
+        base,                    # 0
+        near,                    # 1 — near-dup of 0
+        base,                    # 2 — exact dup of 0
+        "completely different text about spark ray data engines " * 6,  # 3
+        "another unrelated document discussing benchmark results " * 6,  # 4
+        near + " extra tail words here",  # 5 — near-dup of 1
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+def test_minhash_finds_planted_neardups(planted_dir):
+    out = minhash_dedup(planted_dir, threshold=0.7)
+    cl = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert cl[0] == cl[1] == cl[2] == 0  # near+exact dups cluster to min id
+    assert cl[3] == 3 and cl[4] == 4    # unrelated docs stay singletons
+
+
+def test_dedup_exact_planted(ray_session, planted_dir):
+    out = dedup_exact(planted_dir).to_pandas().sort_values("doc_id")
+    groups = dict(zip(out["doc_id"], out["n_dups"]))
+    assert groups[0] == 2  # docs 0 and 2 identical
+    assert groups[1] == 1 and groups[3] == 1
+
+
+def test_minhash_signature_approximates_jaccard():
+    stage = MinHashStage()
+    a = _shingles("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 " * 5)
+    b = _shingles("w1 w2 w3 w4 w5 w6 w7 w8 w9 zz " * 5)
+    true_j = jaccard(a, b)
+    sa, sb = stage.signature(a), stage.signature(b)
+    est = float((sa == sb).mean())
+    assert abs(est - true_j) < 0.25  # 128 perms → coarse but correlated
+
+
+def test_simhash_proximity(ray_session, planted_dir):
+    from latyas_ray.ops.dedup import simhash_fingerprints
+
+    out = simhash_fingerprints(planted_dir).to_pandas().sort_values("doc_id")
+    sig = dict(zip(out["doc_id"], out["simhash"]))
+    def hamming(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+    assert sig[0] == sig[2]  # identical docs → identical simhash
+    assert hamming(sig[0], sig[1]) < hamming(sig[0], sig[3])
+
+
+def test_fingerprints_deterministic(ray_session, planted_dir):
+    from latyas_ray.ops.textstats import doc_fingerprints
+
+    a = doc_fingerprints(planted_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = doc_fingerprints(planted_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert a.loc[0, "md5_64"] == a.loc[2, "md5_64"]  # exact dups agree
+    assert a.loc[0, "md5_64"] != a.loc[3, "md5_64"]
+
+
+def test_ivf_recall_vs_bruteforce(ray_session):
+    from latyas_ray.ops.similarity import ann_topk, ann_topk_ivf
+
+    sf = "/root/testdata/sf0.01"
+    bf = ann_topk(sf, n_queries=5, k=10)
+    ivf = ann_topk_ivf(sf, n_queries=5, k=10, n_buckets=8, n_probe=3)
+    recalls = []
+    for q in bf["query_id"].unique():
+        truth = set(bf[bf["query_id"] == q]["neighbor_id"])
+        got = set(ivf[ivf["query_id"] == q]["neighbor_id"])
+        recalls.append(len(truth & got) / len(truth))
+    assert sum(recalls) / len(recalls) >= 0.3  # probing 3/8 buckets
+
+
+def test_multimodal_stage(ray_session, tmp_path):
+    from latyas_ray.ops.multimodal import (
+        FEATURE_DIM,
+        FakeImageDecoder,
+        generate_media_table,
+        media_features,
+    )
+
+    path = generate_media_table(str(tmp_path / "media" / "m.parquet"), n_rows=40)
+    out = media_features(path).to_pandas()
+    assert len(out) == 40
+    img = out[out["media_type"] == "image/png"]
+    aud = out[out["media_type"] == "audio/wav"]
+    assert img["decoded"].all()
+    assert not aud["decoded"].any()  # stub raises NotImplementedError → flagged
+    feats = img["features"].iloc[0]
+    assert len(feats) == FEATURE_DIM
+    # deterministic across independent actor instances
+    d1, d2 = FakeImageDecoder(), FakeImageDecoder()
+    payload = b"\x89PNG\r\n\x1a\n" + b"abc" * 100
+    assert np.allclose(d1._decode(payload, "image/png"), d2._decode(payload, "image/png"))
