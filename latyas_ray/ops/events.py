@@ -10,9 +10,8 @@ from __future__ import annotations
 import pandas as pd
 
 import ray.data as rd
-from ray.data.aggregate import Sum
 
-from .common import read_table
+from .common import merge_partials, read_table
 
 
 def events_window_counts(sf_dir: str) -> pd.DataFrame:
@@ -32,13 +31,10 @@ def events_window_counts(sf_dir: str) -> pd.DataFrame:
         )
         return g
 
-    out = (
-        ds.map_batches(partial, batch_format="pandas", batch_size=16384)
-        .groupby(["event_type", "window_start"])
-        .aggregate(Sum("n_events", alias_name="n_events"))
-        .to_pandas()
-        .sort_values(["event_type", "window_start"])
-        .reset_index(drop=True)
+    out = merge_partials(
+        ds.map_batches(partial, batch_format="pandas", batch_size=16384),
+        keys=["event_type", "window_start"],
+        agg={"n_events": "sum"},
     )
     out["n_events"] = out["n_events"].astype("int64")
     return out

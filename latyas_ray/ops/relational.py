@@ -13,9 +13,8 @@ import pandas as pd
 import ray
 
 import ray.data as rd
-from ray.data.aggregate import Sum
 
-from .common import read_table
+from .common import merge_partials, read_table
 
 
 def lineitem_pricing_summary(sf_dir: str) -> pd.DataFrame:
@@ -38,18 +37,11 @@ def lineitem_pricing_summary(sf_dir: str) -> pd.DataFrame:
             .reset_index()
         )
 
-    out = (
-        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("one", alias_name="n_rows"),
-            Sum("qty", alias_name="sum_qty"),
-            Sum("cents", alias_name="sum_base_cents"),
-        )
-        .to_pandas()
-        .sort_values(["l_returnflag", "l_linestatus"])
-        .reset_index(drop=True)
-    )
+    out = merge_partials(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        keys=["l_returnflag", "l_linestatus"],
+        agg={"one": "sum", "qty": "sum", "cents": "sum"},
+    ).rename(columns={"one": "n_rows", "qty": "sum_qty", "cents": "sum_base_cents"})
     return out.astype(
         {"n_rows": "int64", "sum_qty": "int64", "sum_base_cents": "int64"}
     )
@@ -78,13 +70,10 @@ def orders_by_nation(sf_dir: str) -> pd.DataFrame:
         n = batch["o_custkey"].astype("int64").map(lookup)
         return n.value_counts().rename_axis("n_name").rename("n_orders").reset_index()
 
-    out = (
-        orders.map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby("n_name")
-        .aggregate(Sum("n_orders", alias_name="n_orders"))
-        .to_pandas()
-        .sort_values("n_name")
-        .reset_index(drop=True)
+    out = merge_partials(
+        orders.map_batches(partial, batch_format="pandas", batch_size=65536),
+        keys=["n_name"],
+        agg={"n_orders": "sum"},
     )
     out["n_orders"] = out["n_orders"].astype("int64")
     return out

@@ -17,9 +17,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Sum, Max, Min
 
-from .common import read_table
+from .common import merge_partials, read_table
 
 # BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
 # Expressible identically in DuckDB: regexp_extract_all(text, ...).
@@ -41,17 +40,11 @@ def doc_stats_by_lang(sf_dir: str) -> pd.DataFrame:
                                  "max": "max_chars", "min": "min_chars"})
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=8192)
-    out = (
-        partials.groupby("lang")
-        .aggregate(
-            Sum("n_docs", alias_name="n_docs"),
-            Sum("total_chars", alias_name="total_chars"),
-            Max("max_chars", alias_name="max_chars"),
-            Min("min_chars", alias_name="min_chars"),
-        )
-        .to_pandas()
-        .sort_values("lang")
-        .reset_index(drop=True)
+    out = merge_partials(
+        partials,
+        keys=["lang"],
+        agg={"n_docs": "sum", "total_chars": "sum",
+             "max_chars": "max", "min_chars": "min"},
     )
     return out.astype({"n_docs": "int64", "total_chars": "int64",
                        "max_chars": "int64", "min_chars": "int64"})
