@@ -1,0 +1,154 @@
+"""LaTeX → KaTeX-safe normalization (scalar string function).
+
+Semantics of the reference's ``to_katex``
+(``/root/reference/latyas/tex_ocr/models/texteller/ocr_model/utils/to_katex.py:89-180``)
+re-expressed as a table-driven rewrite pipeline:
+
+- box macros (``\\mbox``/``\\hbox``/``\\makebox``/``\\raisebox``/
+  ``\\scalebox``/``\\vbox``) and their dimension arguments are unwrapped,
+- size macros keep their content but switch ``$…$`` delimiters to braces,
+- ``\\boldmath``→``\\bm``, ``\\emph``→``\\textit``,
+- delimiter-size macros (``\\left``/``\\big``/…) lose stray braces,
+- display blocks ``\\[…\\]`` become ``…\\newline`` (trailing one removed),
+- spacing macros (``\\,``/``\\!``/``\\;``/``\\:``) collapse to one space,
+  ``\\vspace{...}`` is dropped,
+- consecutive ``\\text{...}`` runs merge, ``\\bf `` is stripped,
+- bare ``$…$`` wrappers (not preceded by a macro) are removed,
+- whitespace collapses to single spaces.
+
+The brace matcher honors backslash escapes and re-applies a rule until its
+pattern no longer matches (the reference's recursive ``change``/reversed
+``change_all`` behavior); unbalanced input degrades gracefully.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Tuple
+
+_PAIRS = {"{": "}", "$": "$"}
+
+
+def _match_close(s: str, start: int, open_ch: str, close_ch: str) -> int:
+    """Index of the close matching ``s[start] == open_ch``, honoring
+    backslash escapes; -1 when unbalanced."""
+    depth = 1
+    i = start + 1
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == close_ch and depth == 1:
+            return i
+        if c == close_ch:
+            depth -= 1
+        elif c == open_ch and open_ch != close_ch:
+            depth += 1
+        i += 1
+    return -1
+
+
+def _rewrite_macro(
+    s: str,
+    macro: str,
+    repl: str,
+    delims: Tuple[str, str],
+    new_delims: Tuple[str, str],
+) -> str:
+    """Rewrite every ``macro<open>…<close>`` into
+    ``repl<new_open>…<new_close>``, repeating until no occurrence remains
+    (inner occurrences surface after outer rewrites)."""
+    open_ch, close_ch = delims
+    new_open, new_close = new_delims
+    needle = macro + open_ch
+    # a rule whose output still matches its own pattern would never
+    # terminate — only re-apply when the rewrite changes the pattern
+    reapply = not (repl == macro and new_delims == delims)
+    guard = 0
+    while needle in s and guard < 64:
+        guard += 1
+        out = []
+        i = 0
+        n = len(s)
+        while i < n:
+            if s.startswith(needle, i):
+                open_at = i + len(macro)
+                close_at = _match_close(s, open_at, open_ch, close_ch)
+                if close_at < 0:  # unbalanced: rewrite the head, keep rest
+                    out.append(repl + new_open)
+                    i = open_at + 1
+                    continue
+                out.append(repl + new_open + s[open_at + 1: close_at] + new_close)
+                i = close_at + 1
+            else:
+                out.append(s[i])
+                i += 1
+        s = "".join(out)
+        if not reapply:
+            break
+    return s
+
+
+# box macro → trailing delimiter of the unwrapped content (mbox keeps the
+# content tight; the rest add a separating space, per the reference rules)
+_BOX_MACROS = [(r"\mbox ", ""), (r"\mbox", ""), (r"\hbox", " "),
+               (r"\makebox", " "), (r"\scalebox", " "), (r"\raisebox", " "),
+               (r"\vbox", " ")]
+_SIZE_MACROS = [r"\Huge", r"\huge", r"\LARGE", r"\Large", r"\large",
+                r"\normalsize", r"\small", r"\footnotesize", r"\tiny"]
+_DELIM_MACROS = [r"\left", r"\middle", r"\right",
+                 r"\big", r"\Big", r"\bigg", r"\Bigg",
+                 r"\bigl", r"\Bigl", r"\biggl", r"\Biggl",
+                 r"\bigm", r"\Bigm", r"\biggm", r"\Biggm",
+                 r"\bigr", r"\Bigr", r"\biggr", r"\Biggr"]
+
+
+def strip_dollar_wrapped(s: str) -> str:
+    """Remove ``$…$`` wrappers that do not directly follow a macro name
+    (``to_katex.py:68-78`` ``rm_dollar_surr`` semantics)."""
+    for m in re.findall(r"\\[a-zA-Z]+\$.*?\$|\$.*?\$", s):
+        if not m.startswith("\\"):
+            s = s.replace(m, " " + m.strip("$") + " ")
+    return s
+
+
+def to_katex(formula: str) -> str:
+    s = formula
+    # box-macro dimension arguments → plain braces first
+    s = re.sub(r"\\hbox to ?-? ?\d+\.\d+(pt)?\{", r"\\hbox{", s)
+    s = re.sub(r"\\raise ?-? ?\d+\.\d+(pt)?", r" ", s)
+    s = re.sub(r"\\makebox ?\[\d+\.\d+(pt)?\]\{", r"\\makebox{", s)
+    s = re.sub(r"\\raisebox\{-? ?\d+\.\d+(pt)?\}\{", r"\\raisebox{", s)
+    s = re.sub(r"\\scalebox\{-? ?\d+\.\d+(pt)?\}\{", r"\\scalebox{", s)
+    for macro, tail in _BOX_MACROS:
+        s = _rewrite_macro(s, macro, " ", ("{", "}"), ("", tail))
+    for macro in _SIZE_MACROS:
+        s = _rewrite_macro(s, macro, macro, ("$", "$"), ("{", "}"))
+    for macro in (r"\boldmath ", r"\boldmath"):
+        s = _rewrite_macro(s, macro, r"\bm", ("{", "}"), ("{", "}"))
+        s = _rewrite_macro(s, macro, r"\bm", ("$", "$"), ("{", "}"))
+    s = _rewrite_macro(s, r"\scriptsize", r"\scriptsize", ("$", "$"), ("{", "}"))
+    for macro in (r"\emph", r"\emph "):
+        s = _rewrite_macro(s, macro, r"\textit", ("{", "}"), ("{", "}"))
+    for macro in _DELIM_MACROS:
+        s = _rewrite_macro(s, macro, macro, ("{", "}"), ("", ""))
+
+    s = re.sub(r"\\\[(.*?)\\\]", r"\1\\newline", s)
+    if s.endswith(r"\newline"):
+        s = s[: -len(r"\newline")]
+
+    for spacer in (r"\,", r"\!", r"\;", r"\:"):
+        s = re.sub(r"(" + re.escape(spacer) + r"){1,}", " ", s)
+    s = re.sub(r"\\vspace\{.*?}", "", s)
+
+    def _merge_text_runs(m: re.Match) -> str:
+        inner = "".join(re.findall(r"\\text\{([^}]*)\}", m.group(0)))
+        return "\\text{" + inner + "}"
+
+    s = re.sub(r"(\\text\{[^}]*\}\s*){2,}", _merge_text_runs, s)
+    s = s.replace(r"\bf ", "")
+    s = strip_dollar_wrapped(s)
+    s = re.sub(r" +", " ", s)
+    return s.strip()

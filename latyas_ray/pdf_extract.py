@@ -82,6 +82,19 @@ def extract_page(page: dict, page_idx: int) -> Tuple[str, List[Region]]:
     regions = detect_page(page)
     regions = remove_overlapping(regions, area_threshold=0.5, strategy="merge")
 
+    # J1: flag text regions containing embedded equations (margin 20,
+    # base_pipeline.py:127-146) — with real models these route to the
+    # mixed text+equation OCR backend instead of the plain one
+    from .functions.spatial import find_embedded_equations
+
+    text_idx = [i for i, r in enumerate(regions) if r.kind == BlockKind.Text]
+    embed_idx = [i for i, r in enumerate(regions) if r.kind == BlockKind.EmbedEq]
+    hits = find_embedded_equations(
+        [regions[i].rect for i in text_idx], [regions[i].rect for i in embed_idx]
+    )
+    for ti in hits:
+        regions[text_idx[ti]].meta["has_equation"] = True
+
     order = xy_cut_reflow([r.rect for r in regions], margin=10.0)
 
     parts: List[str] = []
