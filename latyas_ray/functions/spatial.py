@@ -77,6 +77,73 @@ def merge_row_bboxes(rects: Sequence[Rect]) -> List[Rect]:
     return out
 
 
+def split_text_around_latex(
+    text_rects: Sequence[Rect],
+    latex_rects: Sequence[Rect],
+) -> List[Tuple[Rect, str]]:
+    """**M12** — text/equation conflict resolution within a page's rows:
+    equation boxes win their x-span; text boxes overlapping them in the
+    same row are trimmed, split around, or dropped when fully covered.
+
+    Intended semantics of ``split_conflict``
+    (``mix_inference.py:44-123``), re-expressed as a clean sweep (the
+    reference version drags debug globals and loses tail elements on some
+    inputs — unreachable in its working flow; we implement the intent):
+    process boxes in row-band order; within a row, for each pair of
+    x-overlapping boxes, text↔text merge their span, text↔latex resolve
+    in favor of the latex span.  Returns (rect, kind) in reading order,
+    kind ∈ {"text", "latex"}.
+    """
+    items: List[Tuple[Rect, str]] = [(tuple(r), "text") for r in text_rects]
+    items += [(tuple(r), "latex") for r in latex_rects]
+    if not items:
+        return []
+    order = row_band_sort([r for r, _ in items])
+    ordered = [items[i] for i in order]
+
+    # group into row bands (consecutive boxes chained by same_row)
+    rows: List[List[Tuple[Rect, str]]] = []
+    for rect, kind in ordered:
+        if rows and same_row(rows[-1][-1][0], rect):
+            rows[-1].append((rect, kind))
+        else:
+            rows.append([(rect, kind)])
+
+    out: List[Tuple[Rect, str]] = []
+    for row in rows:
+        latex = [r for r, k in row if k == "latex"]
+        texts = [r for r, k in row if k == "text"]
+        # 1. merge x-overlapping text spans
+        merged: List[Rect] = []
+        for r in sorted(texts, key=lambda r: (r[0], r[2])):
+            if merged and r[0] < merged[-1][2]:
+                last = merged[-1]
+                merged[-1] = (last[0], last[1], max(last[2], r[2]), last[3])
+            else:
+                merged.append(r)
+        # 2. subtract every latex x-span from the text spans
+        pieces: List[Rect] = []
+        for t in merged:
+            spans = [(t[0], t[2])]
+            for lx in sorted(latex, key=lambda r: r[0]):
+                next_spans = []
+                for x1, x2 in spans:
+                    if lx[2] <= x1 or lx[0] >= x2:
+                        next_spans.append((x1, x2))
+                        continue
+                    if lx[0] > x1:
+                        next_spans.append((x1, lx[0]))
+                    if lx[2] < x2:
+                        next_spans.append((lx[2], x2))
+                spans = next_spans
+            pieces.extend((x1, t[1], x2, t[3]) for x1, x2 in spans if x2 > x1)
+        # 3. emit the row left-to-right
+        row_out = [(r, "latex") for r in latex] + [(r, "text") for r in pieces]
+        row_out.sort(key=lambda it: (it[0][0], it[0][2]))
+        out.extend(row_out)
+    return out
+
+
 def find_embedded_equations(
     text_rects: Sequence[Rect],
     embed_rects: Sequence[Rect],

@@ -134,3 +134,34 @@ def test_pdf_has_equation_flag():
     flags = {r.text: r.meta.get("has_equation", False) for r in regions if r.text}
     assert flags["body"] is True
     assert flags["plain"] is False
+
+
+def test_split_text_around_latex():
+    from latyas_ray.functions.spatial import split_text_around_latex
+
+    # latex strictly inside a text box → text splits into left + right
+    out = split_text_around_latex([(0, 0, 100, 10)], [(40, 0, 60, 10)])
+    assert out == [((0, 0, 40, 10), "text"), ((40, 0, 60, 10), "latex"),
+                   ((60, 0, 100, 10), "text")]
+
+    # latex overlapping the right edge → text trimmed
+    out = split_text_around_latex([(0, 0, 50, 10)], [(40, 0, 80, 10)])
+    assert out == [((0, 0, 40, 10), "text"), ((40, 0, 80, 10), "latex")]
+
+    # text fully covered → dropped
+    out = split_text_around_latex([(20, 0, 40, 10)], [(0, 0, 60, 10)])
+    assert out == [((0, 0, 60, 10), "latex")]
+
+    # overlapping texts merge, then split around latex
+    out = split_text_around_latex([(0, 0, 30, 10), (25, 0, 100, 10)],
+                                  [(50, 0, 70, 10)])
+    assert out == [((0, 0, 50, 10), "text"), ((50, 0, 70, 10), "latex"),
+                   ((70, 0, 100, 10), "text")]
+
+    # different rows don't interact
+    out = split_text_around_latex([(0, 0, 100, 10)], [(0, 50, 100, 60)])
+    assert out == [((0, 0, 100, 10), "text"), ((0, 50, 100, 60), "latex")]
+
+    # empty inputs
+    assert split_text_around_latex([], []) == []
+    assert split_text_around_latex([(0, 0, 10, 10)], []) == [((0, 0, 10, 10), "text")]
