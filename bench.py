@@ -86,7 +86,7 @@ def run_bench() -> dict:
         read_pages(corpus),
         batch_size=32,
         use_actors=True,
-        concurrency=(2, max(2, ncpu - 2)),
+        concurrency=max(2, ncpu // 8),  # fixed PDF-model pool (~7% of rows)
     )
     ds.write_parquet(out_dir)
     t_extract = time.time() - t0

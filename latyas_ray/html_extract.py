@@ -36,7 +36,7 @@ so the output is byte-identical no matter how the corpus is partitioned
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from html.parser import HTMLParser
 from typing import Dict, List, Optional, Tuple
 
@@ -75,12 +75,22 @@ LINK_DENSITY_THRESHOLD = 0.6
 LINK_DENSITY_MAX_CHARS = 512
 
 
-@dataclass
 class Node:
-    tag: str  # "" for text nodes
-    attrs: Dict[str, str] = field(default_factory=dict)
-    children: List["Node"] = field(default_factory=list)
-    text: str = ""  # only for text nodes
+    """One DOM node; ``tag == ""`` marks a text node.  The ``_raw`` /
+    ``_collapsed`` / ``_linklen`` slots memoize per-subtree derivations so
+    nested containers don't recompute them per ancestor (the naive form is
+    O(depth × text) on deep pages)."""
+
+    __slots__ = ("tag", "attrs", "children", "text", "_raw", "_collapsed", "_linklen")
+
+    def __init__(self, tag: str, attrs: Optional[Dict[str, str]] = None, text: str = ""):
+        self.tag = tag
+        self.attrs = attrs if attrs is not None else {}
+        self.children: List["Node"] = []
+        self.text = text
+        self._raw: Optional[str] = None
+        self._collapsed: Optional[str] = None
+        self._linklen: int = -1
 
 
 class _TreeBuilder(HTMLParser):
@@ -137,25 +147,38 @@ def parse_html(payload: bytes) -> Node:
 
 
 def _subtree_text(node: Node) -> str:
-    parts: List[str] = []
-    _collect_text(node, parts)
-    return "".join(parts)
-
-
-def _collect_text(node: Node, out: List[str]) -> None:
     if node.tag == "":
-        out.append(node.text)
-        return
+        return node.text
+    if node._raw is not None:
+        return node._raw
     if node.tag in ("script", "style"):
-        return
-    for c in node.children:
-        _collect_text(c, out)
+        val = ""
+    else:
+        val = "".join(_subtree_text(c) for c in node.children)
+    node._raw = val
+    return val
+
+
+def _collapsed_text(node: Node) -> str:
+    """``collapse_ws(_subtree_text(node))``, memoized per node (collapse is
+    not compositional over children — boundary whitespace — so the cache
+    holds the full result, computed once)."""
+    if node.tag == "":
+        return collapse_ws(node.text)
+    if node._collapsed is None:
+        node._collapsed = collapse_ws(_subtree_text(node))
+    return node._collapsed
 
 
 def _link_text_len(node: Node) -> int:
+    if node._linklen >= 0:
+        return node._linklen
     if node.tag == "a":
-        return len(collapse_ws(_subtree_text(node)))
-    return sum(_link_text_len(c) for c in node.children if c.tag != "")
+        val = len(_collapsed_text(node))
+    else:
+        val = sum(_link_text_len(c) for c in node.children if c.tag != "")
+    node._linklen = val
+    return val
 
 
 def _classes(node: Node) -> str:
@@ -179,7 +202,7 @@ def _is_boilerplate_container(node: Node) -> bool:
     if _BOILER_CLASS_RE.search(_classes(node)):
         return True
     if node.tag in CONTAINER_TAGS:
-        total = len(collapse_ws(_subtree_text(node)))
+        total = len(_collapsed_text(node))
         if 0 < total < LINK_DENSITY_MAX_CHARS:
             if _link_text_len(node) / total >= LINK_DENSITY_THRESHOLD:
                 return True
@@ -205,7 +228,7 @@ def _table_blocks(node: Node, path: str, col: Optional[str], out: List[_Seg]) ->
         for c in n.children:
             if c.tag == "tr":
                 cells = [
-                    collapse_ws(_subtree_text(cc))
+                    _collapsed_text(cc)
                     for cc in c.children
                     if cc.tag in ("td", "th")
                 ]
@@ -215,7 +238,7 @@ def _table_blocks(node: Node, path: str, col: Optional[str], out: List[_Seg]) ->
 
     for c in node.children:
         if c.tag == "caption":
-            cap = collapse_ws(_subtree_text(c))
+            cap = _collapsed_text(c)
             if cap:
                 out.append(_Seg(BlockKind.TableCaption, cap, path + "/caption", col))
     walk_rows(node)
@@ -226,7 +249,7 @@ def _table_blocks(node: Node, path: str, col: Optional[str], out: List[_Seg]) ->
 
 def _list_block(node: Node, path: str, col: Optional[str], out: List[_Seg]) -> None:
     items = [
-        collapse_ws(_subtree_text(c)) for c in node.children if c.tag == "li"
+        _collapsed_text(c) for c in node.children if c.tag == "li"
     ]
     text = "\n".join("- " + it for it in items if it)
     if text:
@@ -250,7 +273,7 @@ def _segment(
         if tag in BOILER_TAGS or (
             tag in CONTAINER_TAGS and _is_boilerplate_container(child)
         ):
-            text = collapse_ws(_subtree_text(child))
+            text = _collapsed_text(child)
             if tag in ("header", "nav"):
                 kind = BlockKind.Header
             elif tag in ("footer", "aside"):
@@ -261,14 +284,14 @@ def _segment(
             continue
 
         if tag in HEADING_TAGS:
-            text = collapse_ws(_subtree_text(child))
+            text = _collapsed_text(child)
             if text:
                 saw_content[0] = True
                 out.append(_Seg(BlockKind.Title, text, cpath, col))
             continue
 
         if tag in ("p", "blockquote"):
-            text = collapse_ws(_subtree_text(child))
+            text = _collapsed_text(child)
             if not text:
                 continue
             saw_content[0] = True
@@ -293,7 +316,7 @@ def _segment(
             out.append(_Seg(BlockKind.Figure, "", cpath, col))
             for gc in child.children:
                 if gc.tag == "figcaption":
-                    cap = collapse_ws(_subtree_text(gc))
+                    cap = _collapsed_text(gc)
                     if cap:
                         out.append(
                             _Seg(BlockKind.FigureCaption, cap, cpath + "/figcaption", col)
@@ -305,7 +328,7 @@ def _segment(
             if any(c.tag and c.tag not in ("script", "style") for c in child.children):
                 _segment(child, cpath, side, saw_content, out)
             else:
-                text = collapse_ws(_subtree_text(child))
+                text = _collapsed_text(child)
                 if text:
                     saw_content[0] = True
                     out.append(_Seg(BlockKind.Text, text, cpath, side))

@@ -3,8 +3,12 @@
 Physical plan (SURVEY.md §4.3) — one pass, zero shuffles on the hot path:
 
     read_parquet(corpus shards)                    # 5 pruned columns
-      └─ map_batches(ExtractStage | extract_batch, # Arrow zero-copy
-                     batch_size=B, concurrency=(a,b))
+      └─ map_batches(extract_route_batch)          # stateless tasks, full
+                                                   # width: HTML extraction;
+                                                   # PDF payloads carried
+      └─ map_batches(PdfExtractStage,              # actor pool (warm model
+                     concurrency=P, batch_size=B)  # state): PDF rows only,
+                                                   # rest pass through
       └─ write part-{pid}/ parquet (atomic rename) + lineage sidecar
       └─ groupby("lang").aggregate(...)            # metrics rollup ONLY,
                                                    # post-write, tiny shuffle
@@ -37,7 +41,12 @@ import ray.data as rd
 
 from .. import EXTRACTOR_VERSION
 from ..pdf_extract import PDF_MAGIC
-from ..stages.extract_stage import ExtractStage, extract_batch
+from ..stages.extract_stage import (
+    ExtractStage,
+    PdfExtractStage,
+    extract_batch,
+    extract_route_batch,
+)
 from ..state.lineage import (
     LineageRecord,
     completed_partitions,
@@ -88,11 +97,35 @@ def extract_dataset(
         )
         return html_ds.union(pdf_ds)
     if use_actors:
+        # Routed two-stage default: stateless tasks extract the HTML
+        # majority at full width; the actor pool (warm model state) sees
+        # only PDF rows and forwards the rest zero-copy.  A fixed-size
+        # pool avoids the autoscaler's ramp-up lag; it is sized to the PDF
+        # share of the workload, not the whole corpus.
+        pool = concurrency if isinstance(concurrency, int) else 4
+        try:  # never let the pool starve the stateless/read stages: leave
+            import ray  # at least 2 CPUs free (pool-holds-every-CPU deadlocks
+            # a small local cluster and serializes a big one)
+            avail = int(ray.cluster_resources().get("CPU", 0)) if ray.is_initialized() else 0
+            if avail:
+                pool = max(1, min(pool, avail - 2))
+        except Exception:
+            pass
         return ds.map_batches(
-            ExtractStage,
+            extract_route_batch, batch_format="pyarrow", batch_size=batch_size
+        ).map_batches(
+            PdfExtractStage,
             batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=concurrency or (1, 8),
+            # coarse batches: ~93% of rows pass through untouched, so this
+            # stage is transfer-bound, not compute-bound — fewer, larger
+            # batches cut per-batch scheduling/IPC overhead
+            batch_size=max(batch_size, 256),
+            concurrency=pool,
+            # 0.5 CPU: the pool is pass-through for ~93% of rows, and the
+            # distinct remote args keep Ray Data from fusing the stateless
+            # stage into this pool (fusion would run ALL extraction on the
+            # few model actors, serializing the job)
+            num_cpus=0.5,
         )
     return ds.map_batches(
         extract_batch, batch_format="pyarrow", batch_size=batch_size

@@ -27,8 +27,11 @@ from __future__ import annotations
 from typing import Iterable, Optional
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
+from .. import EXTRACTOR_VERSION
 from ..extract import extract_one
+from ..pdf_extract import is_pdf_payload
 from ..schema import EXTRACTED_SCHEMA
 
 
@@ -71,3 +74,94 @@ class ExtractStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return extract_batch(batch)
+
+
+# ---------------------------------------------------- routed two-stage plan
+#
+# The default physical plan: a *stateless task* stage extracts the HTML
+# majority at full cluster width (pure string/DOM work needs no warm state,
+# and elastic tasks have none of an actor pool's ramp-up / sizing cost),
+# while PDF rows pass through untouched with their payload carried in a
+# sideband column; a downstream *actor pool* — the stage shape the
+# reference's model pipelines require (weights once per actor,
+# ``ultralytics_layout_model.py:31-52``) — extracts only those rows and
+# forwards everything else zero-copy.  One read, no union, and the pool is
+# sized to the model workload (a few % of rows), not the whole corpus.
+
+PDF_CARRY_COLS = ["_pdf_payload", "_pdf_text"]
+ROUTED_SCHEMA = EXTRACTED_SCHEMA.append(
+    pa.field("_pdf_payload", pa.binary())
+).append(pa.field("_pdf_text", pa.string()))
+
+
+def _placeholder_row(url: str, lang, payload: bytes) -> dict:
+    """EXTRACTED-schema stand-in for a PDF row awaiting the model stage."""
+    return {
+        "url": url,
+        "lang": lang or "",
+        "payload_kind": "pdf",
+        "extracted_text": "",
+        "final_text": "",
+        "text_source": "",
+        "n_bytes": len(payload),
+        "n_regions": 0,
+        "regions": [],
+        "checksum": "",
+        "error": "",
+        "extractor_version": EXTRACTOR_VERSION,
+    }
+
+
+def extract_route_batch(batch: pa.Table) -> pa.Table:
+    """Stateless stage: extract HTML rows fully; carry PDF rows through."""
+    out = {name: [] for name in EXTRACTED_SCHEMA.names}
+    payloads, ptexts = [], []
+    for url, html, text, lang in _rows(batch):
+        h = html or b""
+        if is_pdf_payload(h):
+            res = _placeholder_row(url, lang, h)
+            payloads.append(h)
+            ptexts.append(text)
+        else:
+            res = extract_one(url, h, text, lang)
+            payloads.append(None)
+            ptexts.append(None)
+        for name in EXTRACTED_SCHEMA.names:
+            out[name].append(res[name])
+    arrays = [pa.array(out[f.name], type=f.type) for f in EXTRACTED_SCHEMA]
+    arrays.append(pa.array(payloads, type=pa.binary()))
+    arrays.append(pa.array(ptexts, type=pa.string()))
+    return pa.Table.from_arrays(arrays, schema=ROUTED_SCHEMA)
+
+
+class PdfExtractStage:
+    """Actor-pool model stage over routed batches: runs the (stub) layout
+    detector on rows whose ``_pdf_payload`` is set; all other rows pass
+    through zero-copy.  Real YOLO/RT-DETR weights belong in ``__init__``
+    (never per call — the reference rebuilds an ONNX session per detect at
+    ``texteller_layout_model.py:70-71``, an anti-pattern we do not copy)."""
+
+    def __init__(self, model_name: Optional[str] = None) -> None:
+        self.model_name = model_name or "stub-layout-detector/1"
+        import latyas_ray.pdf_extract  # noqa: F401 — warm compile in-actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = batch.column("_pdf_payload")
+        if payload.null_count == batch.num_rows:
+            return batch.drop_columns(PDF_CARRY_COLS)
+        mask = pc.is_valid(payload.combine_chunks())
+        done = batch.filter(pc.invert(mask)).drop_columns(PDF_CARRY_COLS)
+        todo = batch.filter(mask)
+        out = {name: [] for name in EXTRACTED_SCHEMA.names}
+        for url, pl, text, lang in zip(
+            todo.column("url").to_pylist(),
+            todo.column("_pdf_payload").to_pylist(),
+            todo.column("_pdf_text").to_pylist(),
+            todo.column("lang").to_pylist(),
+        ):
+            res = extract_one(url, pl, text, lang)
+            for name in EXTRACTED_SCHEMA.names:
+                out[name].append(res[name])
+        arrays = [pa.array(out[f.name], type=f.type) for f in EXTRACTED_SCHEMA]
+        pdf_tbl = pa.Table.from_arrays(arrays, schema=EXTRACTED_SCHEMA)
+        return pa.concat_tables([done, pdf_tbl])
