@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _dedup.dedup_exact,
         "minhash_dedup": _dedup.minhash_dedup,
         "simhash_fingerprints": _dedup.simhash_fingerprints,
+        "ngram_jaccard": _dedup.ngram_jaccard,
         # similarity search over embeddings
         "ann_topk": _similarity.ann_topk,
         "ann_topk_ivf": _similarity.ann_topk_ivf,
@@ -107,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational patterns (partial agg, broadcast join)
         "lineitem_pricing_summary": _relational.lineitem_pricing_summary,
         "orders_by_nation": _relational.orders_by_nation,
+        "top_suppliers_by_revenue": _relational.top_suppliers_by_revenue,
         # multimodal plumbing (stubbed decode, real Ray stage)
         "media_features": _q_media_features,
     }
@@ -167,6 +169,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, "
             "CAST(count(*) AS BIGINT) AS n_dups FROM documents GROUP BY text"
         ),
+        "ngram_jaccard": (
+            "WITH pairs AS (SELECT 2*i AS a, 2*i+1 AS b FROM range(0, 50) t(i)), "
+            "w AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN "
+            "CAST([] AS VARCHAR[]) ELSE "
+            "regexp_split_to_array(trim(text), '\\s+') END AS words "
+            "FROM documents WHERE doc_id < 100), "
+            "sh AS (SELECT doc_id, list_distinct(CASE "
+            "WHEN len(words) = 0 THEN CAST([] AS VARCHAR[]) "
+            "WHEN len(words) < 3 THEN [array_to_string(words, ' ')] "
+            "ELSE [array_to_string(words[i:i+2], ' ') "
+            "FOR i IN range(1, len(words) - 1)] END) AS s FROM w) "
+            "SELECT CAST(p.a AS BIGINT) AS a, CAST(p.b AS BIGINT) AS b, "
+            "round(CASE WHEN len(sa.s) = 0 AND len(sb.s) = 0 THEN 1.0 "
+            "ELSE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) "
+            "/ len(list_distinct(sa.s || sb.s)) END, 6) AS jaccard "
+            "FROM pairs p JOIN sh sa ON sa.doc_id = p.a "
+            "JOIN sh sb ON sb.doc_id = p.b"
+        ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id, embedding FROM embeddings "
             "ORDER BY vec_id LIMIT 5), "
@@ -212,5 +232,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "top_suppliers_by_revenue": (
+            "WITH r AS (SELECT l_suppkey, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) "
+            "AS revenue_c100 FROM lineitem GROUP BY l_suppkey) "
+            "SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, "
+            "revenue_c100 FROM r JOIN supplier ON s_suppkey = l_suppkey "
+            "ORDER BY revenue_c100 DESC, s_suppkey LIMIT 10"
         ),
     }

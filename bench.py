@@ -108,6 +108,8 @@ def run_bench() -> dict:
         "sessionize": events.sessionize,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
         "orders_by_nation": relational.orders_by_nation,
+        "top_suppliers_by_revenue": relational.top_suppliers_by_revenue,
+        "ngram_jaccard": dedup.ngram_jaccard,
     }
     for name, fn in op_fns.items():
         t0 = time.time()

@@ -253,3 +253,15 @@ def ngram_jaccard_pairs(
     sh = {int(d): _shingles(t) for d, t in zip(kept["doc_id"], kept["text"].fillna(""))}
     sims = [jaccard(sh[a], sh[b]) for a, b in zip(ids_a, ids_b)]
     return pd.DataFrame({"a": ids_a, "b": ids_b, "jaccard": sims})
+
+
+def ngram_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Fixed-pair word-3-gram Jaccard similarity — the ``queries()`` face
+    of :func:`ngram_jaccard_pairs` (pairs (2i, 2i+1) over doc_ids 0..99,
+    present at every scale factor; SQL-oracle-verifiable since Jaccard
+    over hashed shingles equals Jaccard over the shingle strings)."""
+    ids_a = [2 * i for i in range(50)]
+    ids_b = [2 * i + 1 for i in range(50)]
+    out = ngram_jaccard_pairs(sf_dir, ids_a, ids_b)
+    out["jaccard"] = out["jaccard"].round(6)
+    return out

@@ -77,3 +77,42 @@ def orders_by_nation(sf_dir: str) -> pd.DataFrame:
     )
     out["n_orders"] = out["n_orders"].astype("int64")
     return out
+
+
+def top_suppliers_by_revenue(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Distributed top-k: per-batch partial aggregation over the (bounded)
+    supplier key space, coalesce-merge, then a driver-side top-k and a
+    small-side name join — no global sort, no shuffle join.  Revenue uses
+    pure integer math (cents × integer discount percent) so the DuckDB
+    oracle matches bit-for-bit regardless of accumulation order.
+    Output: (s_suppkey, s_name, revenue_c100)."""
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(batch["l_extendedprice"] * 100).astype("int64")
+        disc = np.round(batch["l_discount"] * 100).astype("int64")
+        df = pd.DataFrame(
+            {
+                "l_suppkey": batch["l_suppkey"].astype("int64"),
+                "rev": cents * (100 - disc),
+            }
+        )
+        return df.groupby("l_suppkey", as_index=False)["rev"].sum()
+
+    agg = merge_partials(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        keys=["l_suppkey"],
+        agg={"rev": "sum"},
+    )
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).to_pandas()
+    out = agg.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    out = out.sort_values(["rev", "s_suppkey"], ascending=[False, True]).head(k)
+    return pd.DataFrame(
+        {
+            "s_suppkey": out["s_suppkey"].astype("int64").values,
+            "s_name": out["s_name"].values,
+            "revenue_c100": out["rev"].astype("int64").values,
+        }
+    )

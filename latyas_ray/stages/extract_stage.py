@@ -112,10 +112,27 @@ def _placeholder_row(url: str, lang, payload: bytes) -> dict:
     }
 
 
-def extract_route_batch(batch: pa.Table) -> pa.Table:
-    """Stateless stage: extract HTML rows fully; carry PDF rows through."""
+# Flush accumulated output once this much input payload has been consumed:
+# a run of multi-MB documents then yields several bounded Arrow tables
+# instead of one giant one (north rule: size-capped Arrow batches — output
+# blocks stay spillable and downstream batches stay bounded even when the
+# row-count batch cap admits many giant rows).
+SIZE_CAP_BYTES = 64 << 20
+
+
+def _emit_routed(out: dict, payloads: list, ptexts: list) -> pa.Table:
+    arrays = [pa.array(out[f.name], type=f.type) for f in EXTRACTED_SCHEMA]
+    arrays.append(pa.array(payloads, type=pa.binary()))
+    arrays.append(pa.array(ptexts, type=pa.string()))
+    return pa.Table.from_arrays(arrays, schema=ROUTED_SCHEMA)
+
+
+def extract_route_batch(batch: pa.Table):
+    """Stateless stage: extract HTML rows fully; carry PDF rows through.
+    Generator UDF — yields size-capped output tables."""
     out = {name: [] for name in EXTRACTED_SCHEMA.names}
     payloads, ptexts = [], []
+    acc = 0
     for url, html, text, lang in _rows(batch):
         h = html or b""
         if is_pdf_payload(h):
@@ -128,10 +145,14 @@ def extract_route_batch(batch: pa.Table) -> pa.Table:
             ptexts.append(None)
         for name in EXTRACTED_SCHEMA.names:
             out[name].append(res[name])
-    arrays = [pa.array(out[f.name], type=f.type) for f in EXTRACTED_SCHEMA]
-    arrays.append(pa.array(payloads, type=pa.binary()))
-    arrays.append(pa.array(ptexts, type=pa.string()))
-    return pa.Table.from_arrays(arrays, schema=ROUTED_SCHEMA)
+        acc += len(h)
+        if acc >= SIZE_CAP_BYTES:
+            yield _emit_routed(out, payloads, ptexts)
+            out = {name: [] for name in EXTRACTED_SCHEMA.names}
+            payloads, ptexts = [], []
+            acc = 0
+    if payloads or out["url"]:
+        yield _emit_routed(out, payloads, ptexts)
 
 
 class PdfExtractStage:

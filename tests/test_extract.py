@@ -262,3 +262,25 @@ def test_corpus_row_determinism_and_schema():
     t = make_table([0, 1, 2, 17, 42])
     assert t.schema.equals(PAGES_SCHEMA)
     assert t.num_rows == 5
+
+
+def test_route_batch_size_cap_yields_bounded_tables(monkeypatch):
+    """With a tiny byte cap, one input batch yields several routed tables
+    whose concatenation equals the uncapped output."""
+    import pyarrow as pa
+
+    import latyas_ray.stages.extract_stage as es
+    from latyas_ray.corpus import make_row
+    from latyas_ray.schema import PAGES_SCHEMA
+
+    rows = [make_row(i) for i in range(24)]
+    batch = pa.Table.from_pylist(
+        [{k: r[k] for k in PAGES_SCHEMA.names} for r in rows], schema=PAGES_SCHEMA
+    )
+    uncapped = pa.concat_tables(list(es.extract_route_batch(batch)))
+    monkeypatch.setattr(es, "SIZE_CAP_BYTES", 4096)
+    parts = list(es.extract_route_batch(batch))
+    assert len(parts) > 1
+    capped = pa.concat_tables(parts)
+    assert capped.num_rows == batch.num_rows
+    assert capped.equals(uncapped)

@@ -128,3 +128,44 @@ def test_multimodal_stage(ray_session, tmp_path):
     d1, d2 = FakeImageDecoder(), FakeImageDecoder()
     payload = b"\x89PNG\r\n\x1a\n" + b"abc" * 100
     assert np.allclose(d1._decode(payload, "image/png"), d2._decode(payload, "image/png"))
+
+
+def test_ngram_jaccard_fixed_pairs(ray_session):
+    from latyas_ray.ops.dedup import _shingles, jaccard, ngram_jaccard
+
+    sf_dir = "/root/testdata/sf0.01"
+    out = ngram_jaccard(sf_dir)
+    assert list(out.columns) == ["a", "b", "jaccard"]
+    assert len(out) == 50
+    assert ((out["jaccard"] >= 0) & (out["jaccard"] <= 1)).all()
+    # spot-check one pair against the serial kernel
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    row = out.iloc[7]
+    expect = round(jaccard(_shingles(texts[row.a] or ""), _shingles(texts[row.b] or "")), 6)
+    assert abs(row.jaccard - expect) < 1e-9
+
+
+def test_top_suppliers_by_revenue_matches_duckdb(ray_session):
+    import duckdb
+
+    from latyas_ray.ops.relational import top_suppliers_by_revenue
+
+    sf = "/root/testdata/sf0.01"
+    out = top_suppliers_by_revenue(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf}/lineitem.parquet')")
+    con.execute(f"CREATE VIEW supplier AS SELECT * FROM read_parquet('{sf}/supplier.parquet')")
+    ref = con.execute(
+        "WITH r AS (SELECT l_suppkey, "
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) "
+        "* (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c100 "
+        "FROM lineitem GROUP BY l_suppkey) "
+        "SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, revenue_c100 "
+        "FROM r JOIN supplier ON s_suppkey = l_suppkey "
+        "ORDER BY revenue_c100 DESC, s_suppkey LIMIT 10"
+    ).df()
+    assert list(out.columns) == ["s_suppkey", "s_name", "revenue_c100"]
+    assert out.reset_index(drop=True).equals(ref)
