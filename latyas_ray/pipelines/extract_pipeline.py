@@ -226,6 +226,47 @@ def run_resumable(
     }
 
 
+# ------------------------------------------------------------- debug sinks
+
+
+def export_labelme(ds: rd.Dataset, out_dir: str) -> None:
+    """LabelMe-style annotation export (SURVEY.md §2.1 S7; the reference
+    writes one ``labelme`` JSON per image at ``auto_labelme.py:36-62``).
+    Input: an extracted Dataset (``EXTRACTED_SCHEMA``); output: JSON rows
+    with one rectangle shape per region, written as sharded files via
+    ``ds.write_json`` — a debug sink, off the hot path."""
+    import pyarrow as pa
+
+    def to_labelme(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        regions_col = batch.column("regions").to_pylist()
+        rows = []
+        for url, regions in zip(urls, regions_col):
+            shapes = [
+                {
+                    "label": reg["kind"],
+                    "points": [[reg["x1"], reg["y1"]], [reg["x2"], reg["y2"]]],
+                    "group_id": reg["region_id"],
+                    "shape_type": "rectangle",
+                    "flags": {},
+                }
+                for reg in regions or []
+            ]
+            rows.append(
+                {
+                    "version": "5.0.0",
+                    "flags": {},
+                    "imagePath": url,
+                    "shapes": json.dumps(shapes, sort_keys=True),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    ds.select_columns(["url", "regions"]).map_batches(
+        to_labelme, batch_format="pyarrow"
+    ).write_json(out_dir)
+
+
 # ------------------------------------------------------------ metric rollup
 
 

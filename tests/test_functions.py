@@ -165,3 +165,57 @@ def test_split_text_around_latex():
     # empty inputs
     assert split_text_around_latex([], []) == []
     assert split_text_around_latex([(0, 0, 10, 10)], []) == [((0, 0, 10, 10), "text")]
+
+
+# ------------------------------------------------------------- image ops
+
+
+def test_pad_to_min_size_small_crop_centered_on_white():
+    import numpy as np
+
+    from latyas_ray.functions.image_ops import pad_to_min_size
+
+    img = np.zeros((50, 80), dtype=np.uint8)  # black crop
+    out = pad_to_min_size(img)
+    assert out.shape == (800, 800)
+    # corners stay (blurred) white, center holds the upscaled dark crop
+    assert out[0, 0] == 255 and out[-1, -1] == 255
+    assert out[400, 400] < 32
+    big = np.zeros((500, 500), dtype=np.uint8)
+    assert pad_to_min_size(big) is big  # large crops untouched
+
+
+def test_trim_white_border_crops_to_content():
+    import numpy as np
+
+    from latyas_ray.functions.image_ops import trim_white_border
+
+    img = np.full((100, 120), 255, dtype=np.uint8)
+    img[40:60, 50:70] = 0
+    out = trim_white_border(img, margin=2)
+    assert out.shape == (24, 24)
+    assert (out[2:-2, 2:-2] == 0).all()
+    blank = np.full((10, 10), 255, dtype=np.uint8)
+    assert trim_white_border(blank).shape == (10, 10)
+
+
+def test_mask_keep_crop_regions():
+    import numpy as np
+
+    from latyas_ray.functions.image_ops import (
+        crop_region,
+        keep_regions,
+        mask_regions,
+        slice_regions,
+    )
+
+    img = np.arange(100, dtype=np.uint8).reshape(10, 10)
+    masked = mask_regions(img, [(2, 2, 5, 5)])
+    assert (masked[2:5, 2:5] == 255).all()
+    assert masked[0, 0] == img[0, 0]
+    kept = keep_regions(img, [(2, 2, 5, 5)])
+    assert (kept[2:5, 2:5] == img[2:5, 2:5]).all()
+    assert kept[0, 0] == 255
+    assert crop_region(img, (2, 2, 5, 5)).shape == (3, 3)
+    assert len(slice_regions(img, [(0, 0, 3, 3), (5, 5, 20, 20)])) == 2
+    assert slice_regions(img, [(5, 5, 20, 20)])[0].shape == (5, 5)

@@ -140,3 +140,21 @@ def test_stale_version_reprocessed(ray_session, corpus_dir, tmp_path):
         json.dump(rec, f)
     r = run_resumable(corpus_dir, out_dir, n_partitions=4, use_actors=False)
     assert 0 in r["processed"]  # stale version → redone
+
+
+def test_export_labelme_sink(ray_session, corpus_dir, tmp_path):
+    import glob as g
+    import json as j
+
+    from latyas_ray.pipelines.extract_pipeline import export_labelme
+
+    ds = extract_dataset(read_pages(corpus_dir), batch_size=32, use_actors=False)
+    out = str(tmp_path / "labelme")
+    export_labelme(ds, out)
+    files = g.glob(os.path.join(out, "*.json"))
+    assert files
+    rows = [j.loads(line) for f in files for line in open(f) if line.strip()]
+    assert len(rows) == N_ROWS
+    row = next(r for r in rows if j.loads(r["shapes"]))
+    shape = j.loads(row["shapes"])[0]
+    assert shape["shape_type"] == "rectangle" and len(shape["points"]) == 2
