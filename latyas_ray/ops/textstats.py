@@ -94,12 +94,26 @@ def quality_stats(sf_dir: str) -> rd.Dataset:
 
 
 def top_docs(sf_dir: str, k: int = 20) -> pd.DataFrame:
-    """Top-k longest documents (deterministic tie-break on doc_id)."""
+    """Top-k longest documents (deterministic tie-break on doc_id).
+
+    Distributed top-k without a global sort: each batch keeps its local
+    top-k (vectorized), the driver merges O(n_batches × k) survivor rows —
+    a dataset-wide ``sort().limit(k)`` would shuffle every row for k
+    winners."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).head(k)
+
+    parts = ds.map_batches(
+        local_topk, batch_format="pandas", batch_size=65536
+    ).to_pandas()
     out = (
-        ds.sort(["n_chars", "doc_id"], descending=[True, False])
-        .limit(k)
-        .to_pandas()
+        parts.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
     )
     return out[["doc_id", "n_chars"]]
 
