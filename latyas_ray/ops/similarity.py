@@ -27,9 +27,30 @@ from .common import read_table
 
 
 def _embedding_matrix(sf_dir: str) -> tuple:
+    """Full table → driver matrix.  Used only where one side must be dense
+    in memory (near-dup broadcast side, centroid fit); at 10^12 scale the
+    centroid fit samples and the broadcast side becomes the IVF index."""
     t = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).to_pandas()
     ids = t["vec_id"].to_numpy(dtype=np.int64)
     mat = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    return ids, mat
+
+
+def _query_vectors(sf_dir: str, n_queries: int) -> tuple:
+    """The ``n_queries`` smallest vec_ids and their vectors, selected
+    distributed: each batch keeps its local min-k, the driver merges
+    O(batches × k) survivors — the full table never lands on the driver."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def local_min(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.nsmallest(n_queries, "vec_id")
+
+    parts = ds.map_batches(
+        local_min, batch_format="pandas", batch_size=4096
+    ).to_pandas()
+    sel = parts.nsmallest(n_queries, "vec_id").sort_values("vec_id")
+    ids = sel["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.stack(sel["embedding"].to_numpy()).astype(np.float64)
     return ids, mat
 
 
@@ -52,11 +73,8 @@ def ann_topk(
     corpus side computes its local top-k partial with one matmul; partials
     (n_queries × k rows each) merge on the driver.  No shuffle.
     """
-    ids, mat = _embedding_matrix(sf_dir)
-    order = np.argsort(ids)
-    q_idx = order[:n_queries]
-    q_ids = ids[q_idx]
-    q_mat = _normalize(mat[q_idx])
+    q_ids, q_raw = _query_vectors(sf_dir, n_queries)
+    q_mat = _normalize(q_raw)
     q_ref = ray.put((q_ids, q_mat))
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -149,12 +167,10 @@ def ann_topk_ivf(
     the partition key (co-locate one bucket per block); here the pruning
     happens per batch.  Returns the same (query_id, rank, neighbor_id)
     shape as :func:`ann_topk` — recall < 1.0 by design."""
-    ids, mat = _embedding_matrix(sf_dir)
+    _, mat = _embedding_matrix(sf_dir)  # centroid fit (sampled at scale)
     cent = _centroids(mat, n_buckets)
-    order = np.argsort(ids)
-    q_idx = order[:n_queries]
-    q_ids = ids[q_idx]
-    q_mat = _normalize(mat[q_idx])
+    q_ids, q_raw = _query_vectors(sf_dir, n_queries)
+    q_mat = _normalize(q_raw)
     q_buckets = np.argsort(-(q_mat @ _normalize(cent).T), axis=1)[:, :n_probe]
     ref = ray.put((q_ids, q_mat, _normalize(cent), q_buckets))
 
