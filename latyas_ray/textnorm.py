@@ -103,6 +103,66 @@ def normalized_distance(extracted: str, candidate: str) -> float:
     return d / max(t1.shape[0], t2.shape[0])
 
 
+def _decide_threshold(a1: np.ndarray, a2: np.ndarray, denom: int) -> bool:
+    """Exact decision ``lev(a1, a2) / denom < RECONCILE_THRESHOLD`` without
+    always paying the full DP (``a1`` is the longer array):
+
+    - equal lengths: Hamming distance is an UPPER bound on edit distance,
+      so ``ham/denom < t`` proves acceptance in one vectorized pass (the
+      common near-identical-channels case);
+    - during the DP, the row minimum is a non-decreasing LOWER bound on
+      the final distance, so ``min/denom >= t`` proves rejection early
+      (the disagreeing-channels case exits after ~t·n rows);
+    - otherwise the completed DP's exact distance decides.
+
+    Every early path is implied by the exact comparison, so the decision
+    is bit-identical to ``normalized_distance(...) < RECONCILE_THRESHOLD``.
+    """
+    t = RECONCILE_THRESHOLD
+    if a1.shape == a2.shape:
+        ham = int((a1 != a2).sum())
+        if ham / denom < t:
+            return True
+    m = a2.shape[0]
+    previous = np.arange(m + 1, dtype=np.int64)
+    offs = np.arange(m + 1, dtype=np.int64)
+    head = np.empty(m + 1, dtype=np.int64)
+    for i in range(a1.shape[0]):
+        sub = previous[:-1] + (a2 != a1[i])
+        ins = previous[1:] + 1
+        head[0] = i + 1
+        head[1:] = np.minimum(sub, ins)
+        previous = np.minimum.accumulate(head - offs) + offs
+        if not (i & 31) and int(previous.min()) / denom >= t:
+            return False
+    return int(previous[-1]) / denom < t
+
+
+def _accept_candidate(extracted: str, candidate: str) -> bool:
+    """``normalized_distance(extracted, candidate) < RECONCILE_THRESHOLD``,
+    computed with the same tier structure but decision-exact shortcuts
+    (:func:`_decide_threshold`)."""
+    n1, n2 = len(extracted), len(candidate)
+    mx = max(n1, n2)
+    if mx == 0:
+        return True
+    if abs(n1 - n2) / mx >= RECONCILE_THRESHOLD:
+        return False
+    if mx <= EXACT_CAP:
+        s1, s2 = (extracted, candidate) if n1 >= n2 else (candidate, extracted)
+        return _decide_threshold(
+            np.frombuffer(s1.encode("utf-32-le"), dtype=np.uint32),
+            np.frombuffer(s2.encode("utf-32-le"), dtype=np.uint32),
+            mx,
+        )
+    t1, t2 = _line_tokens(extracted), _line_tokens(candidate)
+    if t1.shape[0] < t2.shape[0]:
+        t1, t2 = t2, t1
+    if t2.shape[0] == 0:
+        return False
+    return _decide_threshold(t1, t2, max(t1.shape[0], t2.shape[0]))
+
+
 def reconcile(extracted: str, candidate: str) -> Tuple[str, str]:
     """Choose between extractor output and the cheap pre-extracted channel.
 
@@ -115,7 +175,7 @@ def reconcile(extracted: str, candidate: str) -> Tuple[str, str]:
         return candidate, "channel"
     if not candidate:
         return extracted, "extractor"
-    if normalized_distance(extracted, candidate) < RECONCILE_THRESHOLD:
+    if _accept_candidate(extracted, candidate):
         return candidate, "channel"
     return extracted, "extractor"
 

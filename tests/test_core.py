@@ -235,3 +235,42 @@ def test_caption_crossref_drop():
     assert caption_crossref_drop("详细结果见表3。")
     assert not caption_crossref_drop("x" * 300 + "见表3")
     assert not caption_crossref_drop("normal paragraph text")
+
+
+def test_reconcile_decision_equals_normalized_distance():
+    """The shortcut decision path (Hamming upper bound, early-exit lower
+    bound) must be bit-identical to the exact tiered distance compare."""
+    import random
+
+    from latyas_ray.textnorm import (
+        RECONCILE_THRESHOLD,
+        _accept_candidate,
+        normalized_distance,
+    )
+
+    rng = random.Random(7)
+
+    def randstr(n, alpha="abcdef \n"):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    for trial in range(600):
+        kind = trial % 5
+        if kind == 0:
+            a, b = randstr(rng.randint(0, 200)), randstr(rng.randint(0, 200))
+        elif kind == 1:
+            a = randstr(rng.randint(1, 400))
+            chars = list(a)
+            for i in range(0, len(chars), rng.randint(5, 60)):
+                chars[i] = "~"
+            b = "".join(chars)
+        elif kind == 2:
+            a = randstr(rng.randint(1, 150))
+            b = a + randstr(rng.randint(0, 40))
+        elif kind == 3:
+            a = randstr(rng.randint(8200, 8600))
+            b = randstr(len(a))
+        else:
+            a, b = randstr(rng.randint(1, 50)), ""
+        assert _accept_candidate(a, b) == (
+            normalized_distance(a, b) < RECONCILE_THRESHOLD
+        ), (kind, a[:50], b[:50])
