@@ -109,8 +109,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_summary": _relational.lineitem_pricing_summary,
         "orders_by_nation": _relational.orders_by_nation,
         "top_suppliers_by_revenue": _relational.top_suppliers_by_revenue,
-        # multimodal plumbing (stubbed decode, real Ray stage)
+        # multimodal plumbing (stubbed decode, real Ray stages)
         "media_features": _q_media_features,
+        "media_resize": _q_media_resize,
+        "video_frame_features": _q_video_frames,
     }
 
 
@@ -119,6 +121,22 @@ def _q_media_features(sf_dir: str):
 
     path = generate_media_table("/tmp/latyas_ray/media/media.parquet", n_rows=200)
     return media_features(path).select_columns(["media_id", "media_type", "decoded"])
+
+
+def _q_media_resize(sf_dir: str):
+    from latyas_ray.ops.multimodal import generate_media_table, media_resize
+
+    path = generate_media_table("/tmp/latyas_ray/media/media.parquet", n_rows=200)
+    return media_resize(path)
+
+
+def _q_video_frames(sf_dir: str):
+    from latyas_ray.ops.multimodal import generate_video_table, video_frame_features
+
+    path = generate_video_table("/tmp/latyas_ray/media/video.parquet", n_rows=60)
+    return video_frame_features(path).select_columns(
+        ["media_id", "frame_idx", "ts_sec"]
+    )
 
 
 _GOLDEN_SF = "sf0.01"  # the driver's correctness scale factor

@@ -121,3 +121,171 @@ def media_features(media_path: str, batch_size: int = 16) -> rd.Dataset:
         batch_size=batch_size,
         concurrency=(1, 4),
     )
+
+
+# ------------------------------------------------------------ resize stage
+
+RESIZE_TO = 64
+
+
+class ImageResizeStage:
+    """Actor-pool resize stage: fake-decode the payload into an (h, w)
+    uint8 array (deterministic byte-tiling — a real decoder swaps in
+    here), nearest-neighbor resize to ``RESIZE_TO``², then emit compact
+    per-image statistics.  Resize math is real (vectorized index maps);
+    only the pixel source is fake."""
+
+    def __init__(self) -> None:
+        idx = np.arange(RESIZE_TO)
+        self._grid = idx  # reused per call; real weights would load here
+
+    def _fake_decode(self, payload: bytes, w: int, h: int) -> np.ndarray:
+        need = w * h
+        raw = np.frombuffer(payload, dtype=np.uint8)
+        reps = -(-need // max(1, len(raw)))
+        return np.tile(raw, reps)[:need].reshape(h, w)
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        h, w = img.shape
+        ys = (np.arange(RESIZE_TO) * h) // RESIZE_TO
+        xs = (np.arange(RESIZE_TO) * w) // RESIZE_TO
+        return img[np.ix_(ys, xs)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"media_id": [], "out_w": [], "out_h": [], "px_mean": [], "px_std": []}
+        for mid, mtype, w, h, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("media_type").to_pylist(),
+            batch.column("width").to_pylist(),
+            batch.column("height").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if not mtype.startswith("image/") or not w or not h:
+                continue
+            small = self._resize(self._fake_decode(payload, w, h))
+            out["media_id"].append(mid)
+            out["out_w"].append(RESIZE_TO)
+            out["out_h"].append(RESIZE_TO)
+            out["px_mean"].append(round(float(small.mean()), 4))
+            out["px_std"].append(round(float(small.std()), 4))
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.int64()),
+                "out_w": pa.array(out["out_w"], pa.int32()),
+                "out_h": pa.array(out["out_h"], pa.int32()),
+                "px_mean": pa.array(out["px_mean"], pa.float64()),
+                "px_std": pa.array(out["px_std"], pa.float64()),
+            }
+        )
+
+
+def media_resize(media_path: str, batch_size: int = 16) -> rd.Dataset:
+    """Actor-pool resize over the media table (image rows only)."""
+    ds = rd.read_parquet(media_path)
+    return ds.map_batches(
+        ImageResizeStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 4),
+    )
+
+
+# ------------------------------------------------------- video frame-sample
+
+VIDEO_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("media_type", pa.string()),  # "video/mp4"
+        ("n_frames", pa.int32()),
+        ("fps", pa.float32()),
+        ("payload", pa.binary()),  # fake container: FRAME_BYTES per frame
+    ]
+)
+
+FRAME_BYTES = 256
+
+
+def generate_video_table(out_path: str, n_rows: int = 60) -> str:
+    """Deterministic synthetic video table: payload = ``n_frames`` fixed
+    ``FRAME_BYTES`` blocks (the fake container a real mp4 demuxer would
+    replace)."""
+    if os.path.exists(out_path):
+        return out_path
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    ids, types, nfs, fps, payloads = [], [], [], [], []
+    for i in range(n_rows):
+        seed = hashlib.md5(f"video:{i}".encode()).digest()
+        rng = np.random.RandomState(int.from_bytes(seed[:4], "little"))
+        n_frames = int(rng.randint(8, 240))  # skew: some long videos
+        body = rng.randint(0, 256, size=n_frames * FRAME_BYTES, dtype=np.uint8)
+        ids.append(i)
+        types.append("video/mp4")
+        nfs.append(n_frames)
+        fps.append(float(rng.choice([24.0, 25.0, 30.0])))
+        payloads.append(body.tobytes())
+    t = pa.table(
+        {"media_id": ids, "media_type": types, "n_frames": nfs, "fps": fps,
+         "payload": payloads},
+        schema=VIDEO_SCHEMA,
+    )
+    tmp = out_path + ".tmp"
+    pq.write_table(t, tmp, compression="zstd")
+    os.replace(tmp, out_path)
+    return out_path
+
+
+class FrameSampleStage:
+    """Actor-pool frame sampler: one input video row → one OUTPUT ROW PER
+    SAMPLED FRAME (every ``stride``-th frame), each with the shared
+    feature projection applied — the row-expanding (flat-map-shaped)
+    stage a video pipeline needs.  A real demuxer replaces the
+    fixed-block slicing; the Ray plumbing (actor pool, row expansion,
+    ragged outputs from skewed frame counts) is real."""
+
+    def __init__(self, stride: int = 10) -> None:
+        self.stride = stride
+        self.projection = np.random.RandomState(0xF4A3).standard_normal(
+            (FRAME_BYTES, FEATURE_DIM)
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id, out_frame, out_ts, feats = [], [], [], []
+        for mid, n_frames, fps, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("n_frames").to_pylist(),
+            batch.column("fps").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            frames = np.frombuffer(payload, dtype=np.uint8).reshape(
+                n_frames, FRAME_BYTES
+            )
+            picks = np.arange(0, n_frames, self.stride)
+            fmat = (frames[picks].astype(np.float64) / 255.0) @ self.projection
+            for j, fi in enumerate(picks):
+                out_id.append(mid)
+                out_frame.append(int(fi))
+                out_ts.append(round(float(fi) / float(fps), 4))
+                feats.append([float(x) for x in fmat[j]])
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_frame, pa.int32()),
+                "ts_sec": pa.array(out_ts, pa.float64()),
+                "features": pa.array(feats, pa.list_(pa.float32())),
+            }
+        )
+
+
+def video_frame_features(video_path: str, stride: int = 10,
+                         batch_size: int = 8) -> rd.Dataset:
+    """Frame-sample + per-frame features over the video table.  Small
+    batches: payloads are the big column and frame expansion multiplies
+    output rows (skew-aware sizing)."""
+    ds = rd.read_parquet(video_path)
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 4),
+    )

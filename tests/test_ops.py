@@ -169,3 +169,37 @@ def test_top_suppliers_by_revenue_matches_duckdb(ray_session):
     ).df()
     assert list(out.columns) == ["s_suppkey", "s_name", "revenue_c100"]
     assert out.reset_index(drop=True).equals(ref)
+
+
+def test_media_resize_stage(ray_session, tmp_path):
+    from latyas_ray.ops.multimodal import RESIZE_TO, generate_media_table, media_resize
+
+    path = generate_media_table(str(tmp_path / "media.parquet"), n_rows=40)
+    out = media_resize(path).to_pandas()
+    assert len(out) == 30  # 3 of 4 rows are images
+    assert (out["out_w"] == RESIZE_TO).all() and (out["out_h"] == RESIZE_TO).all()
+    assert ((out["px_mean"] >= 0) & (out["px_mean"] <= 255)).all()
+    # deterministic across runs
+    again = media_resize(path).to_pandas()
+    assert out.sort_values("media_id").reset_index(drop=True).equals(
+        again.sort_values("media_id").reset_index(drop=True)
+    )
+
+
+def test_video_frame_sample_expands_rows(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from latyas_ray.ops.multimodal import (
+        FEATURE_DIM,
+        generate_video_table,
+        video_frame_features,
+    )
+
+    path = generate_video_table(str(tmp_path / "video.parquet"), n_rows=20)
+    meta = pq.read_table(path, columns=["media_id", "n_frames"]).to_pandas()
+    out = video_frame_features(path, stride=10).to_pandas()
+    expect_rows = int(sum(-(-n // 10) for n in meta["n_frames"]))
+    assert len(out) == expect_rows  # one row per sampled frame
+    assert set(out.columns) == {"media_id", "frame_idx", "ts_sec", "features"}
+    assert all(len(f) == FEATURE_DIM for f in out["features"])
+    assert (out["frame_idx"] % 10 == 0).all()
