@@ -62,6 +62,12 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # The per-operator resource reservation holds CPUs back for downstream
+    # operators; with a 4-stage map-only pipeline it caps the dominant
+    # stage's parallelism well below the cluster width (measured ~10s of
+    # wall on sf0.1).  The streaming executor's backpressure alone is the
+    # right control for an all-map plan.
+    ctx.op_resource_reservation_enabled = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     from latyas_ray.corpus import SF_ROWS, ensure_corpus_for_sf, sf_label_from_dir

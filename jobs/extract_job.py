@@ -45,6 +45,12 @@ def main(argv=None) -> int:
         # a local one.  Never called when a driver imports the library.
         ray.init(ignore_reinit_error=True, include_dashboard=False)
 
+    from ray.data import DataContext
+
+    # all-map plan: per-operator CPU reservation only caps the dominant
+    # stage's width (see bench.py); backpressure alone regulates it
+    DataContext.get_current().op_resource_reservation_enabled = False
+
     from latyas_ray.pipelines.extract_pipeline import rollup_metrics, run_resumable
 
     result = run_resumable(

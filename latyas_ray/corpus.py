@@ -450,11 +450,18 @@ def _shard_ranges(n_rows: int, n_shards: int) -> List[range]:
     return [range(i, min(i + per, n_rows)) for i in range(0, n_rows, per)]
 
 
+# Rows per parquet row group.  Row groups are Ray Data's read-split unit:
+# one-row-group shards cap read parallelism at the file count and make the
+# whole pipeline ramp behind a handful of multi-second whole-file reads
+# (real CC dumps are many-row-group files for the same reason).
+ROW_GROUP_ROWS = 512
+
+
 def _write_shard(out_dir: str, shard_idx: int, doc_ids: List[int]) -> int:
     table = make_table(doc_ids)
     tmp = os.path.join(out_dir, f".tmp-pages-{shard_idx:05d}.parquet")
     dst = os.path.join(out_dir, f"pages-{shard_idx:05d}.parquet")
-    pq.write_table(table, tmp, compression="zstd")
+    pq.write_table(table, tmp, compression="zstd", row_group_size=ROW_GROUP_ROWS)
     os.replace(tmp, dst)
     return table.num_rows
 
@@ -469,7 +476,12 @@ def generate_corpus(
     ``_SUCCESS`` marker matching the parameters skips regeneration."""
     if n_shards is None:
         n_shards = max(8, -(-n_rows // 8192))
-    params = {"version": CORPUS_VERSION, "n_rows": n_rows, "n_shards": n_shards}
+    params = {
+        "version": CORPUS_VERSION,
+        "n_rows": n_rows,
+        "n_shards": n_shards,
+        "row_group_rows": ROW_GROUP_ROWS,
+    }
     marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker):
         try:

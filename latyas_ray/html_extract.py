@@ -134,9 +134,88 @@ class _TreeBuilder(HTMLParser):
             self.stack[-1].children.append(Node("", text=data))
 
 
+# ------------------------------------------------- fast guarded tokenizer
+#
+# ``html.parser`` is the semantic reference, but it is pure Python and
+# costs ~30% of extraction.  The fast tokenizer below handles the common
+# regular subset with compiled regexes and REFUSES (returns None →
+# stdlib fallback) anything outside it, so it can never disagree with the
+# reference tokenizer — equivalence is enforced by a tree-diff test over
+# the corpus plus fuzz cases.  Rejected features: character/entity
+# references (``&``), comments/PIs, script/style CDATA modes, bare ``<``
+# in text, quoted ``>`` inside attribute values, end tags with attributes,
+# and unterminated tags.  The choice of path is a pure function of the
+# input bytes, so partitioning-independence is preserved.
+
+_FAST_BAD = re.compile(r"&|<!--|<\?|<(?![a-zA-Z/!])|<\s*(script|style)\b", re.IGNORECASE)
+_DECL_RE = re.compile(r"<![^<>]*>")
+_FTAG = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)"
+    r"((?:\s+[^\s/<>=]+(?:\s*=\s*(?:\"[^\"<>]*\"|'[^'<>]*'|[^\s<>\"']+))?)*)\s*(/?)>"
+)
+_FATTR = re.compile(
+    r"([^\s/<>=]+)(?:\s*=\s*(?:\"([^\"<>]*)\"|'([^'<>]*)'|([^\s<>\"']+)))?"
+)
+
+
+def _fast_parse(text: str):
+    """Tokenize the regular-subset fast path; None = use html.parser."""
+    if _FAST_BAD.search(text):
+        return None
+    builder = _TreeBuilder()
+    pos = 0
+    n = len(text)
+    find = text.find
+    while True:
+        lt = find("<", pos)
+        if lt < 0:
+            if pos < n:
+                builder.handle_data(text[pos:])
+            break
+        if lt > pos:
+            builder.handle_data(text[pos:lt])
+        if text.startswith("<!", lt):
+            m = _DECL_RE.match(text, lt)
+            if not m:
+                return None
+            pos = m.end()
+            continue
+        m = _FTAG.match(text, lt)
+        if not m:
+            return None
+        closing, tag, attrstr, selfclose = m.groups()
+        tag = tag.lower()
+        if closing:
+            if attrstr.strip() or selfclose:
+                return None  # html.parser treats these as bogus end tags
+            builder.handle_endtag(tag)
+        else:
+            attrs = []
+            if attrstr:
+                # finditer, not findall: findall flattens non-participating
+                # groups to "" and a valueless attr ("checked") would be
+                # indistinguishable from an empty-valued one
+                for am in _FATTR.finditer(attrstr):
+                    v = am.group(2)
+                    if v is None:
+                        v = am.group(3)
+                    if v is None:
+                        v = am.group(4)
+                    attrs.append((am.group(1).lower(), v))
+            if selfclose:
+                builder.handle_startendtag(tag, attrs)
+            else:
+                builder.handle_starttag(tag, attrs)
+        pos = m.end()
+    return builder.root
+
+
 def parse_html(payload: bytes) -> Node:
     """Decode (utf-8, replacement on bad bytes) and build the tree."""
     text = payload.decode("utf-8", errors="replace")
+    root = _fast_parse(text)
+    if root is not None:
+        return root
     builder = _TreeBuilder()
     builder.feed(text)
     builder.close()

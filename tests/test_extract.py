@@ -284,3 +284,61 @@ def test_route_batch_size_cap_yields_bounded_tables(monkeypatch):
     capped = pa.concat_tables(parts)
     assert capped.num_rows == batch.num_rows
     assert capped.equals(uncapped)
+
+
+def test_fast_tokenizer_equals_stdlib_parser():
+    """The guarded fast tokenizer must produce the identical DOM tree to
+    html.parser whenever it engages (corpus sample + fuzz), and refuse
+    inputs with features outside its regular subset."""
+    import random
+
+    from latyas_ray import html_extract as hx
+    from latyas_ray.corpus import make_row
+
+    def sig(node, out):
+        out.append((node.tag, tuple(sorted(node.attrs.items())), node.text))
+        for c in node.children:
+            sig(c, out)
+        out.append(("#end", (), ""))
+
+    def stdlib_parse(text):
+        b = hx._TreeBuilder()
+        b.feed(text)
+        b.close()
+        return b.root
+
+    engaged = 0
+    for i in range(300):
+        h = make_row(i)["html"]
+        if h.startswith(b"%PDF-SYN"):
+            continue
+        text = h.decode("utf-8", errors="replace")
+        fast = hx._fast_parse(text)
+        if fast is None:
+            continue
+        engaged += 1
+        a, b = [], []
+        sig(fast, a)
+        sig(stdlib_parse(text), b)
+        assert a == b, f"tree mismatch on doc {i}"
+    assert engaged > 100  # the fast path must actually cover the corpus
+
+    rng = random.Random(11)
+    frag = ["<div>", "</div>", "<p class='x y'>", "text ", "<br/>", "</p>",
+            "<ul><li>a<li>b</ul>", "<a href=\"u\">l</a>", "<img src=x>",
+            "<input type=checkbox checked>", "<div id=z >", "</b>", "<p >",
+            "<b><i>x</b></i>", "<DIV CLASS='UP'>", "<hr>", "<li>item", "\n"]
+    for _ in range(800):
+        s = "".join(rng.choice(frag) for _ in range(rng.randint(1, 25)))
+        fast = hx._fast_parse(s)
+        if fast is None:
+            continue
+        a, b = [], []
+        sig(fast, a)
+        sig(stdlib_parse(s), b)
+        assert a == b, s
+
+    # guard refuses out-of-subset features (never mis-parses them)
+    for bad in ["a &amp; b", "<!-- c -->", "<script>x</script>", "x < y",
+                "<p", "<a href='a>b'>", "</p junk>"]:
+        assert hx._fast_parse(bad) is None, bad
