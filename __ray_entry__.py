@@ -109,6 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_summary": _relational.lineitem_pricing_summary,
         "orders_by_nation": _relational.orders_by_nation,
         "top_suppliers_by_revenue": _relational.top_suppliers_by_revenue,
+        "customers_by_region": _relational.customers_by_region,
+        "parts_by_brand": _relational.parts_by_brand,
         # multimodal plumbing (stubbed decode, real Ray stages)
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
@@ -259,5 +261,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, "
             "revenue_c100 FROM r JOIN supplier ON s_suppkey = l_suppkey "
             "ORDER BY revenue_c100 DESC, s_suppkey LIMIT 10"
+        ),
+        "customers_by_region": (
+            "SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
+        "parts_by_brand": (
+            "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts, "
+            "CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_retail_cents FROM part GROUP BY p_brand"
         ),
     }

@@ -116,3 +116,62 @@ def top_suppliers_by_revenue(sf_dir: str, k: int = 10) -> pd.DataFrame:
             "revenue_c100": out["rev"].astype("int64").values,
         }
     )
+
+
+def customers_by_region(sf_dir: str) -> pd.DataFrame:
+    """Two-level broadcast-join chain (customer→nation→region): both small
+    sides collapse into one driver-built dict shipped once via ``ray.put``;
+    the big side streams through ``map_batches`` with a vectorized map —
+    no shuffle join anywhere.  Output: (r_name, n_customers)."""
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    region = read_table(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
+    nat_to_region = dict(
+        zip(
+            nation["n_nationkey"].astype("int64"),
+            nation["n_regionkey"].map(
+                dict(zip(region["r_regionkey"], region["r_name"]))
+            ),
+        )
+    )
+    lookup_ref = ray.put(nat_to_region)
+
+    cust = read_table(sf_dir, "customer", columns=["c_nationkey"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(lookup_ref)
+        r = batch["c_nationkey"].astype("int64").map(lookup)
+        return (
+            r.value_counts().rename_axis("r_name").rename("n_customers").reset_index()
+        )
+
+    out = merge_partials(
+        cust.map_batches(partial, batch_format="pandas", batch_size=65536),
+        keys=["r_name"],
+        agg={"n_customers": "sum"},
+    )
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return out
+
+
+def parts_by_brand(sf_dir: str) -> pd.DataFrame:
+    """Partial aggregation over the part table: count + exact-integer
+    retail-price cents by brand.  Output: (p_brand, n_parts,
+    sum_retail_cents)."""
+    ds = read_table(sf_dir, "part", columns=["p_brand", "p_retailprice"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "p_brand": batch["p_brand"],
+                "one": 1,
+                "cents": np.round(batch["p_retailprice"] * 100).astype("int64"),
+            }
+        )
+        return df.groupby("p_brand", as_index=False).sum()
+
+    out = merge_partials(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        keys=["p_brand"],
+        agg={"one": "sum", "cents": "sum"},
+    ).rename(columns={"one": "n_parts", "cents": "sum_retail_cents"})
+    return out.astype({"n_parts": "int64", "sum_retail_cents": "int64"})

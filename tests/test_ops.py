@@ -203,3 +203,28 @@ def test_video_frame_sample_expands_rows(ray_session, tmp_path):
     assert set(out.columns) == {"media_id", "frame_idx", "ts_sec", "features"}
     assert all(len(f) == FEATURE_DIM for f in out["features"])
     assert (out["frame_idx"] % 10 == 0).all()
+
+
+def test_customers_by_region_and_parts_by_brand_match_duckdb(ray_session):
+    import duckdb
+
+    from latyas_ray.ops.relational import customers_by_region, parts_by_brand
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in ("customer", "nation", "region", "part"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    got = customers_by_region(sf).sort_values("r_name").reset_index(drop=True)
+    ref = con.execute(
+        "SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name"
+    ).df()
+    assert got.equals(ref)
+    got2 = parts_by_brand(sf).sort_values("p_brand").reset_index(drop=True)
+    ref2 = con.execute(
+        "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts, "
+        "CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS "
+        "sum_retail_cents FROM part GROUP BY p_brand ORDER BY p_brand"
+    ).df()
+    assert got2.equals(ref2)
