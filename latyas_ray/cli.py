@@ -31,6 +31,11 @@ def _ray_session(num_cpus: int | None):
         if num_cpus:
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
+    from ray.data import DataContext
+
+    # all-map plan: per-operator CPU reservation only caps the dominant
+    # stage's width (see bench.py); backpressure alone regulates it
+    DataContext.get_current().op_resource_reservation_enabled = False
     return ray
 
 

@@ -111,7 +111,7 @@ class _TreeBuilder(HTMLParser):
             if tag == "li":
                 while self.stack[-1].tag == "li":
                     self.stack.pop()
-        node = Node(tag, {k: (v or "") for k, v in attrs})
+        node = Node(tag, {k: (v or "") for k, v in attrs} if attrs else None)
         self.stack[-1].children.append(node)
         if tag not in VOID_TAGS:
             self.stack.append(node)
@@ -119,7 +119,7 @@ class _TreeBuilder(HTMLParser):
             node.children.append(Node("", text="\n"))
 
     def handle_startendtag(self, tag, attrs):
-        node = Node(tag, {k: (v or "") for k, v in attrs})
+        node = Node(tag, {k: (v or "") for k, v in attrs} if attrs else None)
         self.stack[-1].children.append(node)
 
     def handle_endtag(self, tag):

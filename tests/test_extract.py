@@ -342,3 +342,37 @@ def test_fast_tokenizer_equals_stdlib_parser():
     for bad in ["a &amp; b", "<!-- c -->", "<script>x</script>", "x < y",
                 "<p", "<a href='a>b'>", "</p junk>"]:
         assert hx._fast_parse(bad) is None, bad
+
+
+def test_poison_payload_dead_letter_channel():
+    """A corrupt payload must not raise: the row is emitted empty with the
+    error recorded (the pipeline's dead-letter channel), and neighbors in
+    the same batch are unaffected."""
+    import pyarrow as pa
+
+    from latyas_ray.extract import extract_one
+    from latyas_ray.schema import PAGES_SCHEMA
+    from latyas_ray.stages.extract_stage import extract_batch
+
+    bad = b"%PDF-SYN\nnot-json{{{"
+    res = extract_one("http://x/bad", bad)
+    assert res["error"].startswith("JSONDecodeError")
+    assert res["extracted_text"] == "" and res["payload_kind"] == "pdf"
+
+    import datetime
+
+    ts = datetime.datetime(2026, 1, 1)
+    batch = pa.Table.from_pylist(
+        [
+            {"url": "http://x/ok", "warc_ts": ts,
+             "html": b"<html><body><p>fine</p></body></html>", "text": None, "lang": "en"},
+            {"url": "http://x/bad", "warc_ts": ts, "html": bad, "text": None, "lang": "en"},
+        ],
+        schema=PAGES_SCHEMA,
+    )
+    out = extract_batch(batch)
+    by_url = {u: e for u, e in zip(out.column("url").to_pylist(), out.column("error").to_pylist())}
+    assert by_url["http://x/ok"] == ""
+    assert by_url["http://x/bad"] != ""
+    texts = dict(zip(out.column("url").to_pylist(), out.column("extracted_text").to_pylist()))
+    assert texts["http://x/ok"] == "fine"
