@@ -102,8 +102,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _similarity.ann_topk,
         "ann_topk_ivf": _similarity.ann_topk_ivf,
         "embedding_neardup": _similarity.embedding_neardup_pairs,
+        "embedding_kmeans": _similarity.embedding_kmeans,
         # stream-shaped ops over events
         "events_window_counts": _events.events_window_counts,
+        "events_hopping_counts": _events.events_hopping_counts,
         "sessionize": _events.sessionize,
         # relational patterns (partial agg, broadcast join)
         "lineitem_pricing_summary": _relational.lineitem_pricing_summary,
@@ -230,6 +232,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, date_trunc('hour', ts) AS window_start, "
             "CAST(count(*) AS BIGINT) AS n_events "
             "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        "events_hopping_counts": (
+            "SELECT event_type, CAST(u AS TIMESTAMP) AS window_start, "
+            "CAST(count(*) AS BIGINT) AS n_events "
+            "FROM events, UNNEST(["
+            "to_timestamp(floor(epoch(ts)/1800)*1800), "
+            "to_timestamp(floor(epoch(ts)/1800)*1800 - 1800)]) AS t(u) "
+            "GROUP BY event_type, u"
         ),
         "sessionize": (
             "WITH d AS (SELECT user_id, ts, "

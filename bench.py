@@ -112,6 +112,7 @@ def run_bench() -> dict:
         "ann_topk": similarity.ann_topk,
         "embedding_neardup": similarity.embedding_neardup_pairs,
         "events_window_counts": events.events_window_counts,
+        "events_hopping_counts": events.events_hopping_counts,
         "sessionize": events.sessionize,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
         "orders_by_nation": relational.orders_by_nation,

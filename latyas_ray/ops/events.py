@@ -67,3 +67,37 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
         .sort_values("user_id")
         .reset_index(drop=True)
     )
+
+
+def events_hopping_counts(sf_dir: str) -> pd.DataFrame:
+    """Hopping (sliding) windows: width 1 h, hop 30 min — each event lands
+    in exactly two windows.  The window explosion happens inside
+    ``map_batches`` (vectorized: floor + one shifted copy), then the same
+    partial-agg → coalesce-merge as the tumbling variant, so the shuffle
+    carries one row per (type, window, batch).  Output: (event_type,
+    window_start, n_events)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+    hop = pd.Timedelta(minutes=30)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        w1 = batch["ts"].dt.floor("30min")
+        exploded = pd.concat(
+            [
+                batch.assign(window_start=w1),
+                batch.assign(window_start=w1 - hop),
+            ]
+        )
+        return (
+            exploded.groupby(["event_type", "window_start"])
+            .size()
+            .rename("n_events")
+            .reset_index()
+        )
+
+    out = merge_partials(
+        ds.map_batches(partial, batch_format="pandas", batch_size=16384),
+        keys=["event_type", "window_start"],
+        agg={"n_events": "sum"},
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    return out

@@ -206,3 +206,69 @@ def ann_topk_ivf(
         .sort_values(["query_id", "rank"])
         .reset_index(drop=True)
     )
+
+
+# ------------------------------------------------------------------ k-means
+
+
+def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5) -> pd.DataFrame:
+    """Distributed k-means over the embedding column (spherical: cosine
+    assignment).  Each iteration broadcasts the centroids once
+    (``ray.put``) and reduces per-batch partial (sum-vector, count) pairs
+    on the driver — O(k·d·n_batches) driver bytes per iteration, never the
+    data.  Deterministic: init = the k smallest vec_ids' vectors, fixed
+    iteration count, no convergence branching.  Returns (vec_id,
+    cluster_id) for every vector — the scale path that IVF bucketing
+    (:func:`ann_topk_ivf`) plugs into.  Not SQL-expressible (iterative);
+    covered by pytest determinism + assignment-quality checks."""
+    _, init = _query_vectors(sf_dir, k)
+    cent = _normalize(init)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(ref)
+            bmat = _normalize(
+                np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            )
+            assign = np.argmax(bmat @ c.T, axis=1)
+            rows = []
+            for ci in np.unique(assign):
+                member = bmat[assign == ci]
+                rows.append(
+                    {
+                        "cluster": int(ci),
+                        "count": int(len(member)),
+                        "vsum": member.sum(axis=0).tolist(),
+                    }
+                )
+            return pd.DataFrame(rows)
+
+        parts = ds.map_batches(
+            partial, batch_format="pandas", batch_size=4096
+        ).to_pandas()
+        new = cent.copy()
+        for ci in range(len(cent)):
+            sel = parts[parts["cluster"] == ci]
+            if len(sel):
+                total = np.sum(np.stack(sel["vsum"].to_numpy()), axis=0)
+                n = int(sel["count"].sum())
+                new[ci] = total / n
+        cent = _normalize(new)
+
+    final_ref = ray.put(cent)
+
+    def assign_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(final_ref)
+        bmat = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].astype("int64"),
+                "cluster_id": np.argmax(bmat @ c.T, axis=1).astype("int64"),
+            }
+        )
+
+    out = ds.map_batches(assign_batch, batch_format="pandas", batch_size=4096).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)

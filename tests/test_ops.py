@@ -228,3 +228,38 @@ def test_customers_by_region_and_parts_by_brand_match_duckdb(ray_session):
         "sum_retail_cents FROM part GROUP BY p_brand ORDER BY p_brand"
     ).df()
     assert got2.equals(ref2)
+
+
+def test_events_hopping_counts_matches_duckdb(ray_session):
+    import duckdb
+
+    from latyas_ray.ops.events import events_hopping_counts
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
+    got = events_hopping_counts(sf).sort_values(
+        ["event_type", "window_start"]
+    ).reset_index(drop=True)
+    got["window_start"] = got["window_start"].astype("datetime64[us]")
+    ref = con.execute(
+        "SELECT event_type, CAST(u AS TIMESTAMP) AS window_start, "
+        "CAST(count(*) AS BIGINT) AS n_events "
+        "FROM events, UNNEST([to_timestamp(floor(epoch(ts)/1800)*1800), "
+        "to_timestamp(floor(epoch(ts)/1800)*1800 - 1800)]) AS t(u) "
+        "GROUP BY event_type, u ORDER BY event_type, window_start"
+    ).df()
+    assert got.equals(ref)
+
+
+def test_embedding_kmeans_deterministic_and_sane(ray_session):
+    from latyas_ray.ops.similarity import embedding_kmeans
+
+    sf = "/root/testdata/sf0.01"
+    out1 = embedding_kmeans(sf, k=4, iters=3)
+    out2 = embedding_kmeans(sf, k=4, iters=3)
+    assert out1.equals(out2)  # deterministic across runs
+    assert list(out1.columns) == ["vec_id", "cluster_id"]
+    assert out1["cluster_id"].between(0, 3).all()
+    assert out1["cluster_id"].nunique() >= 2  # actually partitions the space
+    assert len(out1) == 500
