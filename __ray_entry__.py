@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _dedup.dedup_exact,
         "minhash_dedup": _dedup.minhash_dedup,
         "simhash_fingerprints": _dedup.simhash_fingerprints,
+        "simhash_neardup": _dedup.simhash_neardup,
         "ngram_jaccard": _dedup.ngram_jaccard,
         # similarity search over embeddings
         "ann_topk": _similarity.ann_topk,

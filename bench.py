@@ -109,6 +109,7 @@ def run_bench() -> dict:
         "dedup_exact": dedup.dedup_exact,
         "minhash_dedup": dedup.minhash_dedup,
         "simhash_fingerprints": dedup.simhash_fingerprints,
+        "simhash_neardup": dedup.simhash_neardup,
         "ann_topk": similarity.ann_topk,
         "embedding_neardup": similarity.embedding_neardup_pairs,
         "events_window_counts": events.events_window_counts,

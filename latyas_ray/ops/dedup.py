@@ -265,3 +265,61 @@ def ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     out = ngram_jaccard_pairs(sf_dir, ids_a, ids_b)
     out["jaccard"] = out["jaccard"].round(6)
     return out
+
+
+def simhash_neardup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """SimHash near-dup pairs: (a, b, hamming) for all doc pairs whose
+    64-bit simhash fingerprints differ in ≤ ``max_hamming`` bits.
+
+    Exact via banded LSH (pigeonhole): the fingerprint is split into
+    ``max_hamming + 1`` bit-bands; any pair within the radius must agree
+    on at least one whole band, so candidates are pairs sharing a
+    (band_id, band_value) bucket — a tiny groupby over (band, value,
+    doc_id) rows, never documents — then candidates are verified by
+    popcount.  Same shuffle shape as MinHash-LSH banding.
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+
+    fp = simhash_fingerprints(sf_dir)
+
+    def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
+        sig = batch["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+        rows = {"band_id": [], "band_val": [], "doc_id": [], "simhash": []}
+        for b in range(n_bands):
+            lo = b * width
+            hi = 64 if b == n_bands - 1 else lo + width
+            mask = (np.uint64(1) << np.uint64(hi - lo)) - np.uint64(1)
+            val = (sig >> np.uint64(lo)) & mask
+            rows["band_id"].extend([b] * len(sig))
+            rows["band_val"].extend(val.view(np.int64).tolist())
+            rows["doc_id"].extend(batch["doc_id"].astype("int64").tolist())
+            rows["simhash"].extend(sig.view(np.int64).tolist())
+        return pd.DataFrame(rows)
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uniq = sorted(set(zip(g["doc_id"].astype(int), g["simhash"].astype(int))))
+        out_a, out_b, out_h = [], [], []
+        for i in range(len(uniq)):
+            for j in range(i + 1, len(uniq)):
+                (a, sa), (b, sb) = uniq[i], uniq[j]
+                h = int(bin((sa ^ sb) & ((1 << 64) - 1)).count("1"))
+                if h <= max_hamming:
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_h.append(h)
+        return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_h})
+
+    cand = (
+        fp.map_batches(to_bands, batch_format="pandas", batch_size=4096)
+        .groupby(["band_id", "band_val"])
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if cand.empty:
+        return pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "hamming": pd.Series(dtype="int64")}
+        )
+    out = cand.drop_duplicates().sort_values(["a", "b"]).reset_index(drop=True)
+    return out.astype("int64")

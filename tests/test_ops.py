@@ -263,3 +263,29 @@ def test_embedding_kmeans_deterministic_and_sane(ray_session):
     assert out1["cluster_id"].between(0, 3).all()
     assert out1["cluster_id"].nunique() >= 2  # actually partitions the space
     assert len(out1) == 500
+
+
+def test_simhash_neardup_matches_bruteforce(ray_session):
+    """Banded-LSH simhash near-dup must equal the exact all-pairs popcount
+    result (pigeonhole guarantees no candidate is missed)."""
+    import numpy as np
+
+    from latyas_ray.ops.dedup import simhash_fingerprints, simhash_neardup
+
+    sf = "/root/testdata/sf0.01"
+    fp = simhash_fingerprints(sf).to_pandas().sort_values("doc_id")
+    ids = fp["doc_id"].to_numpy(dtype=np.int64)
+    sig = fp["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+    xor = sig[:, None] ^ sig[None, :]
+    ham = np.zeros(xor.shape, dtype=np.int64)
+    v = xor.copy()
+    for _ in range(64):
+        ham += (v & np.uint64(1)).astype(np.int64)
+        v >>= np.uint64(1)
+    ai, bj = np.nonzero((ham <= 3) & (ids[:, None] < ids[None, :]))
+    expect = sorted(zip(ids[ai], ids[bj], ham[ai, bj]))
+    got = simhash_neardup(sf, max_hamming=3)
+    assert sorted(zip(got["a"], got["b"], got["hamming"])) == [
+        (int(a), int(b), int(h)) for a, b, h in expect
+    ]
+    assert len(got) > 0  # corpus plants near-dup texts
