@@ -23,6 +23,7 @@ from typing import Any
 
 from latyas_ray.corpus import ensure_corpus_for_sf, sf_label_from_dir
 from latyas_ray.golden import ensure_golden, golden_paths
+from latyas_ray.oracles import ensure_oracle, oracle_path
 from latyas_ray.ops import dedup as _dedup
 from latyas_ray.ops import events as _events
 from latyas_ray.ops import relational as _relational
@@ -74,6 +75,24 @@ def _q_extract_regions(sf_dir: str):
     )
 
 
+def _oracled(name: str, fn: Callable[[str], Any],
+             extra: tuple = ()) -> Callable[[str], Any]:
+    """Wrap an op query so its serial-oracle snapshot is (re)built before
+    the distributed run whenever the driver's correctness scale factor is
+    in play — the same golden-snapshot mechanism ``extract_pipeline``
+    uses.  ``extra`` lists additional oracle names the SQL side needs
+    (e.g. simhash_neardup's SQL reads the fingerprint snapshot)."""
+
+    def q(sf_dir: str):
+        sf = sf_label_from_dir(sf_dir)
+        if sf == _GOLDEN_SF:
+            for dep in (name, *extra):
+                ensure_oracle(sf_dir, sf, dep)
+        return fn(sf_dir)
+
+    return q
+
+
 def entry() -> Any:
     """Flagship: synth corpus at sf0.001 → streaming extraction pipeline."""
     corpus = ensure_corpus_for_sf("sf0.001")
@@ -91,19 +110,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _textstats.token_counts,
         "quality_stats": _textstats.quality_stats,
         "top_docs": _textstats.top_docs,
-        "lang_id": _textstats.lang_id,
-        "doc_fingerprints": _textstats.doc_fingerprints,
+        "lang_id": _oracled("lang_id", _textstats.lang_id),
+        "doc_fingerprints": _oracled("doc_fingerprints", _textstats.doc_fingerprints),
         # dedup family
         "dedup_exact": _dedup.dedup_exact,
-        "minhash_dedup": _dedup.minhash_dedup,
-        "simhash_fingerprints": _dedup.simhash_fingerprints,
-        "simhash_neardup": _dedup.simhash_neardup,
+        "minhash_dedup": _oracled("minhash_dedup", _dedup.minhash_dedup),
+        "simhash_fingerprints": _oracled(
+            "simhash_fingerprints", _dedup.simhash_fingerprints
+        ),
+        # simhash_neardup's SQL oracle is an all-pairs popcount self-join
+        # over the FINGERPRINT snapshot (genuinely independent of the
+        # banded-LSH path under test) — so it depends on that snapshot.
+        "simhash_neardup": _oracled("simhash_fingerprints", _dedup.simhash_neardup),
         "ngram_jaccard": _dedup.ngram_jaccard,
         # similarity search over embeddings
         "ann_topk": _similarity.ann_topk,
-        "ann_topk_ivf": _similarity.ann_topk_ivf,
+        "ann_topk_ivf": _oracled("ann_topk_ivf", _similarity.ann_topk_ivf),
         "embedding_neardup": _similarity.embedding_neardup_pairs,
-        "embedding_kmeans": _similarity.embedding_kmeans,
+        "embedding_neardup_ivf": _oracled(
+            "embedding_neardup_ivf", _similarity.embedding_neardup_ivf
+        ),
+        "embedding_kmeans": _oracled("embedding_kmeans", _similarity.embedding_kmeans),
         # stream-shaped ops over events
         "events_window_counts": _events.events_window_counts,
         "events_hopping_counts": _events.events_hopping_counts,
@@ -125,6 +152,7 @@ def _q_media_features(sf_dir: str):
     from latyas_ray.ops.multimodal import generate_media_table, media_features
 
     path = generate_media_table("/tmp/latyas_ray/media/media.parquet", n_rows=200)
+    ensure_oracle(sf_dir, _GOLDEN_SF, "media_features")
     return media_features(path).select_columns(["media_id", "media_type", "decoded"])
 
 
@@ -132,6 +160,7 @@ def _q_media_resize(sf_dir: str):
     from latyas_ray.ops.multimodal import generate_media_table, media_resize
 
     path = generate_media_table("/tmp/latyas_ray/media/media.parquet", n_rows=200)
+    ensure_oracle(sf_dir, _GOLDEN_SF, "media_resize")
     return media_resize(path)
 
 
@@ -139,6 +168,7 @@ def _q_video_frames(sf_dir: str):
     from latyas_ray.ops.multimodal import generate_video_table, video_frame_features
 
     path = generate_video_table("/tmp/latyas_ray/media/video.parquet", n_rows=60)
+    ensure_oracle(sf_dir, _GOLDEN_SF, "video_frame_features")
     return video_frame_features(path).select_columns(
         ["media_id", "frame_idx", "ts_sec"]
     )
@@ -282,5 +312,58 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts, "
             "CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) "
             "AS sum_retail_cents FROM part GROUP BY p_brand"
+        ),
+        # --- serial-oracle snapshots (latyas_ray/oracles.py): the SQL side
+        # reads an independently-computed serial result, the same mechanism
+        # as the extraction golden ---
+        "lang_id": (
+            "SELECT doc_id, lang_pred "
+            f"FROM read_parquet('{oracle_path(_GOLDEN_SF, 'lang_id')}')"
+        ),
+        "doc_fingerprints": (
+            "SELECT doc_id, min_window_hash, md5_64 "
+            f"FROM read_parquet('{oracle_path(_GOLDEN_SF, 'doc_fingerprints')}')"
+        ),
+        "minhash_dedup": (
+            "SELECT doc_id, cluster_id "
+            f"FROM read_parquet('{oracle_path(_GOLDEN_SF, 'minhash_dedup')}')"
+        ),
+        "simhash_fingerprints": (
+            "SELECT doc_id, simhash "
+            f"FROM read_parquet('{oracle_path(_GOLDEN_SF, 'simhash_fingerprints')}')"
+        ),
+        # Independent of the banded-LSH path under test: exact all-pairs
+        # popcount in SQL over the fingerprint snapshot.
+        "simhash_neardup": (
+            "WITH fp AS (SELECT doc_id, simhash FROM read_parquet("
+            f"'{oracle_path(_GOLDEN_SF, 'simhash_fingerprints')}')) "
+            "SELECT a.doc_id AS a, b.doc_id AS b, "
+            "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
+            "FROM fp a JOIN fp b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+        ),
+        "ann_topk_ivf": (
+            'SELECT query_id, "rank", neighbor_id '
+            f"FROM read_parquet('{oracle_path(_GOLDEN_SF, 'ann_topk_ivf')}')"
+        ),
+        "embedding_neardup_ivf": (
+            "SELECT a, b "
+            f"FROM read_parquet('{oracle_path(_GOLDEN_SF, 'embedding_neardup_ivf')}')"
+        ),
+        "embedding_kmeans": (
+            "SELECT vec_id, cluster_id "
+            f"FROM read_parquet('{oracle_path(_GOLDEN_SF, 'embedding_kmeans')}')"
+        ),
+        "media_features": (
+            "SELECT media_id, media_type, decoded "
+            f"FROM read_parquet('{oracle_path(_GOLDEN_SF, 'media_features')}')"
+        ),
+        "media_resize": (
+            "SELECT media_id, out_w, out_h, px_mean, px_std "
+            f"FROM read_parquet('{oracle_path(_GOLDEN_SF, 'media_resize')}')"
+        ),
+        "video_frame_features": (
+            "SELECT media_id, frame_idx, ts_sec "
+            f"FROM read_parquet('{oracle_path(_GOLDEN_SF, 'video_frame_features')}')"
         ),
     }

@@ -106,12 +106,18 @@ def run_bench() -> dict:
         "doc_stats_by_lang": textstats.doc_stats_by_lang,
         "token_counts": textstats.token_counts,
         "quality_stats": textstats.quality_stats,
+        "top_docs": textstats.top_docs,
+        "lang_id": textstats.lang_id,
+        "doc_fingerprints": textstats.doc_fingerprints,
         "dedup_exact": dedup.dedup_exact,
         "minhash_dedup": dedup.minhash_dedup,
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "simhash_neardup": dedup.simhash_neardup,
         "ann_topk": similarity.ann_topk,
+        "ann_topk_ivf": similarity.ann_topk_ivf,
         "embedding_neardup": similarity.embedding_neardup_pairs,
+        "embedding_neardup_ivf": similarity.embedding_neardup_ivf,
+        "embedding_kmeans": similarity.embedding_kmeans,
         "events_window_counts": events.events_window_counts,
         "events_hopping_counts": events.events_hopping_counts,
         "sessionize": events.sessionize,

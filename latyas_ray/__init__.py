@@ -25,4 +25,5 @@ Layout:
 
 __version__ = "0.1.0"
 
-EXTRACTOR_VERSION = "latyas-ray-extractor/1"
+EXTRACTOR_VERSION = "latyas-ray-extractor/2"  # /2: real-PDF channel, OCR
+# rule routing, <pre>/<dl>/rowspan-colspan HTML coverage

@@ -33,7 +33,9 @@ import pyarrow.parquet as pq
 from .extract import extract_one
 from .pdf_extract import PDF_MAGIC
 
-CORPUS_VERSION = "latyas-corpus/1"
+CORPUS_VERSION = "latyas-corpus/3"  # /2: pdf_real family (genuine PDF
+# bytes); /3: HTML breadth — rowspan/colspan tables, <dl>, <pre>,
+# entity-heavy boilerplate pages
 EPOCH_2024_US = 1704067200 * 1_000_000  # 2024-01-01T00:00:00Z in microseconds
 
 PAGES_SCHEMA = pa.schema(
@@ -78,7 +80,8 @@ _FAMILY_CUM = [
     (0.85, "malformed"),
     (0.88, "giant"),
     (0.93, "tiny"),
-    (1.00, "pdf"),
+    (0.965, "pdf"),
+    (1.00, "pdf_real"),
 ]
 
 
@@ -136,6 +139,13 @@ def _html_plain(rng, site, lang):
         f"<p>{_paragraph(rng, lang, rng.randint(2, 5))}</p>"
         for _ in range(rng.randint(3, 8))
     )
+    if rng.random() < 0.25:  # <pre> block: interior whitespace is content
+        code = "\n".join(
+            "    " * rng.randint(0, 2)
+            + f"let v{i} = {rng.randint(0, 99)};  // note"
+            for i in range(rng.randint(2, 6))
+        )
+        paras += f"<pre>\n{code}\n</pre>"
     body = (
         _header(site) + _nav(rng, site)
         + f"<main><article><h1>{title}</h1>{paras}</article></main>"
@@ -182,6 +192,11 @@ def _html_boiler(rng, site, lang):
         + "</div>"
     )
     social = '<div class="social"><a href="/share/x">Share on X</a> <a href="/share/f">Share on F</a></div>'
+    if rng.random() < 0.35:  # entity-heavy paragraph → stdlib parser path
+        thin += (
+            "<p>Q&amp;A: &lt;tags&gt; &amp; &quot;quotes&quot; "
+            f"&#8212; {_paragraph(rng, lang, 1)} &eacute;&nbsp;fin</p>"
+        )
     body = (
         cookie + _header(site) + _nav(rng, site)
         + f"<main><h1>{title}</h1>{thin}</main>"
@@ -208,14 +223,32 @@ def _html_tableslists(rng, site, lang):
     title = _sentence(rng, lang, 4)
     cap_prefix = "表" if lang == "zh" else "Table"
     fig_prefix = "图" if lang == "zh" else "Figure"
-    rows = "".join(
-        "<tr>" + "".join(f"<td>{_sentence(rng, lang, 2)}</td>" for _ in range(3)) + "</tr>"
-        for _ in range(rng.randint(2, 5))
-    )
+    if rng.random() < 0.5:  # span-free grid
+        rows = "".join(
+            "<tr>" + "".join(f"<td>{_sentence(rng, lang, 2)}</td>" for _ in range(3)) + "</tr>"
+            for _ in range(rng.randint(2, 5))
+        )
+        head = "<tr><th>A</th><th>B</th><th>C</th></tr>"
+    else:  # rowspan/colspan grid — span expansion must repeat cell text
+        rows = f'<tr><td rowspan="2">{_sentence(rng, lang, 2)}</td>' + "".join(
+            f"<td>{_sentence(rng, lang, 2)}</td>" for _ in range(2)
+        ) + "</tr><tr>" + "".join(
+            f"<td>{_sentence(rng, lang, 2)}</td>" for _ in range(2)
+        ) + "</tr>" + "".join(
+            "<tr>" + "".join(f"<td>{_sentence(rng, lang, 2)}</td>" for _ in range(3)) + "</tr>"
+            for _ in range(rng.randint(0, 2))
+        )
+        head = '<tr><th colspan="2">AB</th><th>C</th></tr>'
     table = (
         f"<table><caption>{cap_prefix} 1: {_sentence(rng, lang, 3)}</caption>"
-        f"<tr><th>A</th><th>B</th><th>C</th></tr>{rows}</table>"
+        f"{head}{rows}</table>"
     )
+    dl = ""
+    if rng.random() < 0.4:  # <dl> definition list
+        dl = "<dl>" + "".join(
+            f"<dt>{_sentence(rng, lang, 2)}</dt><dd>{_sentence(rng, lang, 4)}</dd>"
+            for _ in range(rng.randint(2, 4))
+        ) + "</dl>"
     ul = "<ul>" + "".join(
         f"<li>{_sentence(rng, lang, rng.randint(3, 7))}</li>" for _ in range(rng.randint(3, 6))
     ) + "</ul>"
@@ -229,7 +262,7 @@ def _html_tableslists(rng, site, lang):
     body = (
         _header(site) + _nav(rng, site)
         + f"<main><h1>{title}</h1><p>{_paragraph(rng, lang, 2)}</p>"
-        + table + ul + figure + ol
+        + table + ul + figure + ol + dl
         + f"<p>{_paragraph(rng, lang, 2)}</p></main>" + _footer(site)
     )
     return _wrap(site, title, body)
@@ -357,6 +390,44 @@ def _pdf_payload(rng, lang) -> bytes:
     return PDF_MAGIC + json.dumps({"pages": pages}, sort_keys=True).encode("utf-8")
 
 
+def _pdf_real_payload(rng, lang) -> bytes:
+    """Genuine minimal PDF bytes (S1/S2 made real): text runs laid out
+    with title / paragraph / caption / margin bands, serialized through
+    :func:`latyas_ray.pdf_real.write_pdf` (xref, page tree, Tf/Tm/Tj) and
+    re-parsed by the pure-Python parser inside the same extraction stage
+    that pdfium feeds in the reference (``tools/pdf2text.py:24-27``)."""
+    from .pdf_real import write_pdf
+
+    pages = []
+    for _ in range(rng.randint(1, 3)):
+        w, h = 612.0, 792.0
+        runs = []
+        runs.append((72.0, 28.0, 8.0, f"journal · {_sentence(rng, lang, 2)}"))
+        y = 80.0
+        runs.append((72.0, y, 20.0, _sentence(rng, lang, 4)))
+        y += 26.0
+        while y < 620.0:
+            y += 14.0  # inter-paragraph gap → new block in the grouper
+            for _ in range(rng.randint(2, 6)):
+                if y >= 700.0:
+                    break
+                runs.append((72.0, y, 11.0,
+                             _sentence(rng, lang, rng.randint(6, 12))))
+                y += 11.0 * 1.35  # in-block line leading (≤ LINE_GAP)
+            if rng.random() < 0.3 and y < 680.0:
+                y += 16.0
+                prefix = "图" if lang == "zh" else "Figure"
+                runs.append((72.0, y, 11.0,
+                             f"{prefix} {rng.randint(1, 9)}: "
+                             f"{_sentence(rng, lang, 3)}"))
+                y += 11.0 * 1.35
+            if rng.random() < 0.25:
+                break
+        runs.append((72.0, h - 30.0, 8.0, f"page {rng.randint(1, 40)}"))
+        pages.append({"w": w, "h": h, "runs": runs})
+    return write_pdf(pages)
+
+
 _FAMILY_FN = {
     "plain": _html_plain,
     "twocol": _html_twocol,
@@ -412,6 +483,8 @@ def make_row(doc_id: int) -> dict:
 
     if family == "pdf":
         html = _pdf_payload(rng, lang)
+    elif family == "pdf_real":
+        html = _pdf_real_payload(rng, lang)
     else:
         html = _FAMILY_FN[family](rng, site, lang).encode("utf-8")
 

@@ -45,15 +45,17 @@ def extract_one(
     html: bytes,
     text: Optional[str] = None,
     lang: Optional[str] = None,
+    ocr_registry=None,
 ) -> dict:
     """Extract one document.  ``html`` is the raw payload (HTML bytes or a
     ``%PDF-SYN`` page description); ``text`` is the cheap pre-extracted
-    channel; ``lang`` passes through."""
+    channel; ``lang`` passes through.  ``ocr_registry`` routes PDF region
+    recognition (default: the echo registry — byte-identical channel)."""
     error = ""
     try:
         if is_pdf_payload(html):
             payload_kind = "pdf"
-            extracted, regions = extract_pdf(html)
+            extracted, regions = extract_pdf(html, ocr=ocr_registry)
         else:
             payload_kind = "html"
             extracted, regions = extract_html(html)

@@ -20,7 +20,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from . import EXTRACTOR_VERSION
-from .corpus import SF_ROWS, default_corpus_dir, ensure_corpus_for_sf
+from .corpus import CORPUS_VERSION, SF_ROWS, default_corpus_dir, ensure_corpus_for_sf
 
 GOLDEN_BASE = "/tmp/latyas_ray/golden"
 
@@ -87,7 +87,8 @@ def ensure_golden(sf_label: str) -> tuple:
     d = os.path.join(GOLDEN_BASE, sf_label)
     marker = os.path.join(d, "_SUCCESS")
     gp, rp = golden_paths(sf_label)
-    params = {"version": EXTRACTOR_VERSION, "sf": sf_label, "n_rows": SF_ROWS[sf_label]}
+    params = {"version": EXTRACTOR_VERSION, "corpus": CORPUS_VERSION,
+              "sf": sf_label, "n_rows": SF_ROWS[sf_label]}
     if os.path.exists(marker):
         try:
             with open(marker) as f:

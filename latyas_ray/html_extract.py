@@ -52,8 +52,8 @@ VOID_TAGS = frozenset(
 )
 # Opening one of these auto-closes an open <p> (HTML5 parsing rules).
 _P_CLOSERS = frozenset(
-    "p div section article main aside header footer nav ul ol table h1 h2 h3 "
-    "h4 h5 h6 figure blockquote pre".split()
+    "p div section article main aside header footer nav ul ol dl table h1 h2 "
+    "h3 h4 h5 h6 figure blockquote pre".split()
 )
 
 HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
@@ -297,21 +297,28 @@ def _column_side(node: Node) -> Optional[str]:
     return None
 
 
+def _int_attr(node: Node, name: str, default: int = 1) -> int:
+    try:
+        v = int(node.attrs.get(name, default))
+    except (TypeError, ValueError):
+        return default
+    return max(1, v)
+
+
 def _table_blocks(node: Node, path: str, col: Optional[str], out: List[_Seg]) -> None:
     """Emit TableCaption (if any) then the Table grid (rows ``\\n``, cells
-    ``\\t``) — the HTML analog of table-structure recognition output
-    (``tsr/models/tatr/pipeline.py:240-297`` cells_to_csv semantics)."""
-    rows: List[str] = []
+    ``\\t``) — the HTML analog of table-structure recognition output,
+    with ``rowspan``/``colspan`` expanded exactly as TATR's cell assembly
+    repeats a spanning cell's text into every covered grid slot
+    (``tsr/models/tatr/pipeline.py:254-258``; same semantics as
+    :func:`latyas_ray.functions.tsr.cells_to_csv`).  Trailing empty slots
+    are trimmed per row, so span-free tables serialize exactly as before."""
+    tr_nodes: List[Node] = []
 
     def walk_rows(n: Node) -> None:
         for c in n.children:
             if c.tag == "tr":
-                cells = [
-                    _collapsed_text(cc)
-                    for cc in c.children
-                    if cc.tag in ("td", "th")
-                ]
-                rows.append("\t".join(cells))
+                tr_nodes.append(c)
             elif c.tag in ("thead", "tbody", "tfoot"):
                 walk_rows(c)
 
@@ -321,7 +328,43 @@ def _table_blocks(node: Node, path: str, col: Optional[str], out: List[_Seg]) ->
             if cap:
                 out.append(_Seg(BlockKind.TableCaption, cap, path + "/caption", col))
     walk_rows(node)
-    grid = "\n".join(r for r in rows if r)
+
+    # occupancy-grid placement: each cell lands in its row's next free
+    # slot, then fills rowspan × colspan slots with its text
+    grid_rows: List[List[Optional[str]]] = [[] for _ in tr_nodes]
+
+    def slot(r: int, c: int) -> Optional[str]:
+        row = grid_rows[r]
+        return row[c] if c < len(row) else None
+
+    def fill(r: int, c: int, val: str) -> None:
+        row = grid_rows[r]
+        while len(row) <= c:
+            row.append(None)
+        row[c] = val
+
+    for ri, tr in enumerate(tr_nodes):
+        ci = 0
+        for cell in tr.children:
+            if cell.tag not in ("td", "th"):
+                continue
+            while slot(ri, ci) is not None:
+                ci += 1
+            text = _collapsed_text(cell)
+            for dr in range(_int_attr(cell, "rowspan")):
+                if ri + dr >= len(grid_rows):
+                    break
+                for dc in range(_int_attr(cell, "colspan")):
+                    fill(ri + dr, ci + dc, text)
+            ci += _int_attr(cell, "colspan")
+
+    lines = []
+    for row in grid_rows:
+        vals = ["" if v is None else v for v in row]
+        while vals and vals[-1] == "":
+            vals.pop()
+        lines.append("\t".join(vals))
+    grid = "\n".join(r for r in lines if r)
     if grid:
         out.append(_Seg(BlockKind.Table, grid, path, col))
 
@@ -335,6 +378,34 @@ def _list_block(node: Node, path: str, col: Optional[str], out: List[_Seg]) -> N
         out.append(_Seg(BlockKind.List, text, path, col))
 
 
+def _dl_block(node: Node, path: str, col: Optional[str], out: List[_Seg]) -> None:
+    """``<dl>`` definition list → List block: terms as ``- term`` lines,
+    each definition indented beneath its term."""
+    lines: List[str] = []
+    for c in node.children:
+        if c.tag == "dt":
+            t = _collapsed_text(c)
+            if t:
+                lines.append("- " + t)
+        elif c.tag == "dd":
+            d = _collapsed_text(c)
+            if d:
+                lines.append("  " + d)
+    text = "\n".join(lines)
+    if text:
+        out.append(_Seg(BlockKind.List, text, path, col))
+
+
+def _pre_text(node: Node) -> str:
+    """``<pre>`` preserves interior whitespace verbatim; only the single
+    leading newline HTML defines as ignorable and trailing newlines are
+    trimmed (never collapsed)."""
+    raw = _subtree_text(node)
+    if raw.startswith("\n"):
+        raw = raw[1:]
+    return raw.rstrip("\n")
+
+
 def _segment(
     node: Node, path: str, col: Optional[str], saw_content: List[bool], out: List[_Seg]
 ) -> None:
@@ -346,7 +417,7 @@ def _segment(
         counts[tag] = counts.get(tag, 0) + 1
         cpath = f"{path}/{tag}[{counts[tag]}]"
 
-        if tag in ("script", "style", "head", "template"):
+        if tag in ("script", "style", "head", "template", "noscript", "iframe"):
             continue
 
         if tag in BOILER_TAGS or (
@@ -384,6 +455,18 @@ def _segment(
         if tag in ("ul", "ol"):
             saw_content[0] = True
             _list_block(child, cpath, col, out)
+            continue
+
+        if tag == "dl":
+            saw_content[0] = True
+            _dl_block(child, cpath, col, out)
+            continue
+
+        if tag == "pre":
+            text = _pre_text(child)
+            if text:
+                saw_content[0] = True
+                out.append(_Seg(BlockKind.Text, text, cpath, col))
             continue
 
         if tag == "table":

@@ -1,15 +1,30 @@
 """Deduplication ops over the ``documents`` table.
 
-- exact: content-hash → hash-partitioned groupby → first per group (the
-  canonical exact-dedup shuffle, over 16-byte hashes rather than texts)
+- exact: content-hash → hash-partitioned ``groupby().aggregate(Min, Count)``
+  (the canonical exact-dedup shuffle, over 16-byte hashes rather than texts)
 - minhash-LSH: shingle → 128-perm minhash → banded buckets → candidate
   pairs → Jaccard verify → connected components (near-dup clusters)
 - simhash: 64-bit simhash per doc (Hamming-proximity fingerprint)
 - n-gram Jaccard verify is shared by the LSH path
 
-Determinism: every hash is derived from blake2b/md5 of content — no
-``hash()``, no seed dependence — so results are identical across runs and
-partitionings.
+Determinism: every hash is derived from blake2b/md5 of content or from the
+fixed splitmix64 mixer — no ``hash()``, no seed dependence — so results are
+identical across runs and partitionings, and the serial oracle
+(``latyas_ray.oracles``) reproduces them bit-for-bit with pure-Python
+integer arithmetic (a genuine differential check on the numpy uint64
+wraparound semantics).
+
+Scale shape (the 100 TB story):
+- Signatures/bands are computed in stateless ``map_batches`` tasks that
+  scale to the full cluster (no fixed actor-pool cap).
+- Buckets collapse exact duplicates FIRST (by 64-bit content hash), so a
+  bucket holding a million identical documents emits zero pairs instead of
+  O(10^12); a hard per-bucket rep cap with logged drops bounds the
+  residual worst case.
+- The union-find runs over candidate *edges* only (a tiny fraction of the
+  corpus by LSH construction); final cluster labeling is a broadcast
+  (``ray.put`` of the content-hash→cluster map) + a map-only pass — no
+  full-table driver materialization anywhere.
 """
 
 from __future__ import annotations
@@ -19,16 +34,26 @@ from typing import Dict, List, Set, Tuple
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
+from ray.data.aggregate import Count, Min
 
 from .common import read_table
 
 _MERSENNE = (1 << 61) - 1
+_U64 = np.uint64
 
 
 def _hash64(data: bytes) -> int:
     return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
+
+
+def _content_hash64(text: str) -> int:
+    """Signed-int64 content hash (blake2b-8, centered)."""
+    return _hash64(text.encode("utf-8")) - (1 << 63)
 
 
 # ------------------------------------------------------------- exact dedup
@@ -38,7 +63,8 @@ def dedup_exact(sf_dir: str) -> rd.Dataset:
     """One row per distinct text: the smallest doc_id and the duplicate
     count.  The shuffle key is the 16-hex-char content hash (added
     vectorized in ``map_batches``), so at corpus scale the exchange moves
-    (hash, doc_id) pairs, never documents."""
+    (hash, doc_id) pairs, never documents.  The per-group reduce is Ray's
+    native ``aggregate(Min, Count)`` — no per-group Python callback."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
@@ -52,13 +78,90 @@ def dedup_exact(sf_dir: str) -> rd.Dataset:
         )
 
     hashed = ds.map_batches(add_hash, batch_format="pandas", batch_size=8192)
+    agg = hashed.groupby("h").aggregate(Min("doc_id"), Count())
 
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": [int(g["doc_id"].min())], "n_dups": [int(len(g))]}
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("min(doc_id)").cast(pa.int64()),
+                "n_dups": t.column("count()").cast(pa.int64()),
+            }
         )
 
-    return hashed.groupby("h").map_groups(first_per_group, batch_format="pandas")
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+# ------------------------------------------------------ shingle hashing
+
+SHINGLE_K = 3  # word 3-grams
+
+_SPLITMIX_GAMMA = 0x9E3779B97F4A7C15
+_SPLITMIX_M1 = 0xBF58476D1CE4E5B9
+_SPLITMIX_M2 = 0x94D049BB133111EB
+
+
+def _mix_step(acc: np.ndarray, word_hash: np.ndarray) -> np.ndarray:
+    """One step of the word-hash chain that defines a shingle hash:
+    ``acc' = splitmix64(acc XOR word_hash * GAMMA)`` with uint64
+    wraparound.  Vectorized over sliding windows; the serial oracle
+    replicates it with masked Python ints."""
+    x = acc ^ (word_hash * _U64(_SPLITMIX_GAMMA))
+    x = x + _U64(_SPLITMIX_GAMMA)
+    x = (x ^ (x >> _U64(30))) * _U64(_SPLITMIX_M1)
+    x = (x ^ (x >> _U64(27))) * _U64(_SPLITMIX_M2)
+    return x ^ (x >> _U64(31))
+
+
+def _shingles_from_word_hashes(seg: np.ndarray, k: int = SHINGLE_K) -> np.ndarray:
+    """Distinct shingle hashes for one doc given its word-hash sequence.
+    Docs shorter than ``k`` words contribute one shingle over all words."""
+    n = len(seg)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n < k:
+        acc = np.zeros(1, dtype=np.uint64)
+        for t in range(n):
+            acc = _mix_step(acc, seg[t: t + 1])
+        return acc
+    width = n - k + 1
+    acc = np.zeros(width, dtype=np.uint64)
+    for t in range(k):
+        acc = _mix_step(acc, seg[t: t + width])
+    return np.unique(acc)
+
+
+def _word_hash_segments(texts: pd.Series) -> List[np.ndarray]:
+    """Per-doc word-hash arrays, with blake2b computed once per distinct
+    word in the batch (vocabulary-level, not occurrence-level)."""
+    texts = texts.fillna("").reset_index(drop=True)
+    split = texts.str.split()
+    lens = split.str.len().fillna(0).astype(int).to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    exploded = split.explode().dropna()
+    if len(exploded) == 0:
+        return [np.empty(0, dtype=np.uint64) for _ in range(len(texts))]
+    codes, uniques = pd.factorize(exploded.to_numpy())
+    wh = np.fromiter(
+        (_hash64(w.encode("utf-8")) for w in uniques),
+        dtype=np.uint64,
+        count=len(uniques),
+    )
+    whs = wh[codes]
+    return [whs[offsets[i]: offsets[i + 1]] for i in range(len(texts))]
+
+
+def _shingles(text: str, k: int = SHINGLE_K) -> Set[int]:
+    """Distinct shingle hashes of one text (the serial/test-facing face of
+    the vectorized batch kernel)."""
+    seg = _word_hash_segments(pd.Series([text]))[0]
+    return set(int(x) for x in _shingles_from_word_hashes(seg, k))
+
+
+def jaccard(a: Set[int], b: Set[int]) -> float:
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
 
 
 # ----------------------------------------------------------------- minhash
@@ -66,7 +169,7 @@ def dedup_exact(sf_dir: str) -> rd.Dataset:
 N_PERMS = 128
 N_BANDS = 16  # 16 bands × 8 rows
 ROWS_PER_BAND = N_PERMS // N_BANDS
-SHINGLE_K = 3  # word 3-grams
+BUCKET_REP_CAP = 64  # max distinct-content reps paired per bucket
 
 
 def _minhash_params() -> Tuple[np.ndarray, np.ndarray]:
@@ -78,103 +181,172 @@ def _minhash_params() -> Tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _shingles(text: str, k: int = SHINGLE_K) -> Set[int]:
-    words = text.split()
-    if len(words) < k:
-        return {_hash64(" ".join(words).encode("utf-8"))} if words else set()
-    return {
-        _hash64(" ".join(words[i: i + k]).encode("utf-8"))
-        for i in range(len(words) - k + 1)
-    }
+_PARAMS: Tuple[np.ndarray, np.ndarray] = _minhash_params()
 
 
-class MinHashStage:
-    """Actor-pool minhash stage: permutation tables built once per actor."""
+def minhash_signature(shingle_hashes) -> np.ndarray:
+    """128-perm minhash signature.  Defined (including uint64 wraparound
+    before the Mersenne mod) as ``min over x of ((a*x mod 2^64) + b) mod
+    2^64 mod p`` — the serial oracle replicates exactly."""
+    a, b = _PARAMS
+    if not len(shingle_hashes):
+        return np.zeros(N_PERMS, dtype=np.uint64)
+    x = np.fromiter(shingle_hashes, dtype=np.uint64) if isinstance(
+        shingle_hashes, (set, frozenset)
+    ) else np.asarray(shingle_hashes, dtype=np.uint64)
+    vals = (np.outer(a, x) + b[:, None]) % _U64(_MERSENNE)
+    return vals.min(axis=1)
 
-    def __init__(self) -> None:
-        self.a, self.b = _minhash_params()
 
-    def signature(self, shingle_hashes: Set[int]) -> np.ndarray:
-        if not shingle_hashes:
-            return np.zeros(N_PERMS, dtype=np.uint64)
-        x = np.fromiter(shingle_hashes, dtype=np.uint64)
-        # (a*x + b) mod p for every perm — outer product, vectorized
-        vals = (np.outer(self.a, x) + self.b[:, None]) % np.uint64(_MERSENNE)
-        return vals.min(axis=1)
+N_BUCKET_PARTS = 256  # coarse shuffle width for bucket processing
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        """Emit (band_id, band_hash, doc_id) rows — the LSH bucket keys."""
-        out_doc, out_band, out_hash = [], [], []
-        for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
-            sig = self.signature(_shingles(text))
-            for band in range(N_BANDS):
-                chunk = sig[band * ROWS_PER_BAND: (band + 1) * ROWS_PER_BAND]
-                bh = _hash64(chunk.tobytes())
-                out_doc.append(int(doc_id))
-                out_band.append(band)
-                out_hash.append(bh - (1 << 63))  # center into int64
-        return pd.DataFrame(
-            {"doc_id": out_doc, "band_id": out_band, "band_hash": out_hash}
-        )
+
+def _minhash_bands_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, chash, band_id, band_hash, part) rows — the LSH bucket
+    keys plus the content hash used for exact-dup collapse inside buckets.
+    ``part`` is a coarse partition key over (band_id, band_hash): the
+    dataset-level groupby shuffles into ``N_BUCKET_PARTS`` groups (a
+    bounded number of Python callbacks), and the per-bucket work inside
+    each group runs through pandas' C groupby — a per-bucket
+    ``map_groups`` would pay a Python call per (band, hash) bucket, 16×
+    the corpus's distinct-signature count.  Stateless (task-parallel); the
+    permutation tables are module-level constants."""
+    segs = _word_hash_segments(batch["text"])
+    n = len(batch)
+    doc_ids = batch["doc_id"].to_numpy(dtype=np.int64)
+    texts = batch["text"].fillna("").tolist()
+    out_doc = np.repeat(doc_ids, N_BANDS)
+    out_band = np.tile(np.arange(N_BANDS, dtype=np.int32), n)
+    out_hash = np.empty(n * N_BANDS, dtype=np.int64)
+    out_ch = np.empty(n * N_BANDS, dtype=np.int64)
+    for i in range(n):
+        sig = minhash_signature(_shingles_from_word_hashes(segs[i]))
+        ch = _content_hash64(texts[i])
+        for band in range(N_BANDS):
+            chunk = sig[band * ROWS_PER_BAND: (band + 1) * ROWS_PER_BAND]
+            out_hash[i * N_BANDS + band] = _hash64(chunk.tobytes()) - (1 << 63)
+            out_ch[i * N_BANDS + band] = ch
+    part = (
+        _mix_step(out_band.astype(np.uint64), out_hash.view(np.uint64))
+        % np.uint64(N_BUCKET_PARTS)
+    ).astype(np.int64)
+    return pd.DataFrame(
+        {"doc_id": out_doc, "chash": out_ch, "band_id": out_band,
+         "band_hash": out_hash, "part": part}
+    )
 
 
 def minhash_buckets(sf_dir: str) -> rd.Dataset:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(MinHashStage, batch_format="pandas", batch_size=4096,
-                          concurrency=(1, 4))
+    return ds.map_batches(_minhash_bands_batch, batch_format="pandas",
+                          batch_size=1024)
 
 
-def jaccard(a: Set[int], b: Set[int]) -> float:
-    if not a and not b:
-        return 1.0
-    inter = len(a & b)
-    return inter / (len(a) + len(b) - inter)
+_EDGE_COLS = {"a": "int64", "ah": "int64", "b": "int64", "bh": "int64",
+              "kind": "object"}
 
 
-def minhash_dedup(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
-    """Near-dup clusters: LSH buckets → candidate pairs → exact Jaccard
-    verify → connected components.  Returns (doc_id, cluster_id) where
-    cluster_id = min doc_id of the component.
+def _empty_edges() -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _EDGE_COLS.items()})
 
-    Scale notes: bucket grouping is a groupby over (band_id, band_hash)
-    keys; candidate pairs are a tiny fraction of the corpus (banding
-    guarantees most docs are singletons), so the verify + union-find runs
-    on the collected candidate edges only — documents never all-gather.
+
+def _edges_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+    """One coarse shuffle partition (~1/``N_BUCKET_PARTS`` of all
+    buckets): emits candidate-pair edges AND exact-dup group records in
+    one pass.
+
+    - pairs: per bucket, exact duplicates collapse to one rep (min doc_id
+      per chash) BEFORE pairing, so degenerate buckets (identical or
+      empty docs) emit zero pairs; a hard rep cap bounds the residual
+      O(B²) worst case with a logged drop.  Only buckets with ≥2 reps
+      reach the Python loop — singletons are filtered vectorized.
+    - dups: band 0 contains every doc exactly once, and identical texts
+      share every band, so (chash → rep) for chash groups of size ≥2 read
+      directly off this shuffle — no second groupby pass over the corpus.
+    """
+    frames = [_empty_edges()]
+
+    b0 = g[g["band_id"] == 0]
+    if len(b0):
+        grp = b0.groupby("chash")["doc_id"]
+        reps, counts = grp.min(), grp.size()
+        dup_h = counts[counts > 1].index
+        if len(dup_h):
+            r = reps.loc[dup_h].astype("int64")
+            frames.append(pd.DataFrame(
+                {"a": r.to_numpy(), "ah": np.asarray(dup_h, dtype=np.int64),
+                 "b": r.to_numpy(), "bh": np.asarray(dup_h, dtype=np.int64),
+                 "kind": "dup"}
+            ))
+
+    reps = (
+        g.sort_values("doc_id")
+        .drop_duplicates(["band_id", "band_hash", "chash"])
+    )
+    sizes = reps.groupby(["band_id", "band_hash"])["doc_id"].transform("size")
+    multi = reps[sizes >= 2]
+    for (band, bh), sub in multi.groupby(["band_id", "band_hash"]):
+        if len(sub) > BUCKET_REP_CAP:
+            print(
+                f"[minhash] bucket cap: keeping {BUCKET_REP_CAP} of "
+                f"{len(sub)} reps (band {int(band)})"
+            )
+            sub = sub.head(BUCKET_REP_CAP)
+        ids = sub["doc_id"].to_numpy(dtype=np.int64)
+        chs = sub["chash"].to_numpy(dtype=np.int64)
+        ai, bj = np.triu_indices(len(ids), k=1)
+        frames.append(pd.DataFrame(
+            {"a": ids[ai], "ah": chs[ai], "b": ids[bj], "bh": chs[bj],
+             "kind": "pair"}
+        ))
+    return pd.concat(frames, ignore_index=True)
+
+
+def _shingle_sets_for(sf_dir: str, need: Set[int]) -> Dict[int, Set[int]]:
+    """Shingle sets for the candidate doc_ids only (semi-join via a typed
+    pyarrow filter — no empty-object-dtype pandas frames)."""
+    if not need:
+        return {}
+    need_arr = pa.array(sorted(need), pa.int64())
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("doc_id"), value_set=need_arr))
+
+    kept = docs.map_batches(keep, batch_format="pyarrow").to_pandas()
+    segs = _word_hash_segments(kept["text"])
+    return {
+        int(d): set(int(x) for x in _shingles_from_word_hashes(segs[i]))
+        for i, d in enumerate(kept["doc_id"])
+    }
+
+
+def minhash_dedup(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
+    """Near-dup clusters: LSH buckets → candidate pairs among exact-dup
+    reps → exact Jaccard verify → connected components.  Returns a
+    streaming Dataset of (doc_id, cluster_id), cluster_id = min doc_id of
+    the component.
+
+    Driver footprint: candidate edges + duplicate-group index + the
+    chash→cluster broadcast map — all O(candidates), never O(corpus).
     """
     buckets = minhash_buckets(sf_dir)
-
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(int(d) for d in set(g["doc_id"]))
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype("int64")
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"a": out_a, "b": out_b})
-
-    cand = (
-        buckets.groupby(["band_id", "band_hash"])
-        .map_groups(pairs_in_bucket, batch_format="pandas")
+    edges = (
+        buckets.groupby("part")
+        .map_groups(_edges_in_partition, batch_format="pandas")
         .to_pandas()
-        .drop_duplicates()
     )
+    if len(edges):
+        cand = edges[edges["kind"] == "pair"].drop_duplicates(subset=["a", "b"])
+        dups = edges[edges["kind"] == "dup"].rename(
+            columns={"ah": "chash", "a": "rep"}
+        )[["chash", "rep"]]
+    else:
+        cand, dups = _empty_edges(), pd.DataFrame({"chash": [], "rep": []})
 
-    # verify candidates with exact shingle Jaccard (re-read only the docs
-    # that appear in candidate pairs — a semi-join via broadcast id set)
-    need = sorted(set(cand["a"]).union(set(cand["b"]))) if len(cand) else []
-    shingle_map: Dict[int, Set[int]] = {}
-    if need:
-        need_set = set(need)
-        docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-
-        def keep(batch: pd.DataFrame) -> pd.DataFrame:
-            return batch[batch["doc_id"].isin(need_set)]
-
-        kept = docs.map_batches(keep, batch_format="pandas").to_pandas()
-        for doc_id, text in zip(kept["doc_id"], kept["text"].fillna("")):
-            shingle_map[int(doc_id)] = _shingles(text)
+    # exact-Jaccard verify of candidate pairs (shingles for candidates only)
+    need = set(map(int, cand["a"])) | set(map(int, cand["b"])) if len(cand) else set()
+    shingle_map = _shingle_sets_for(sf_dir, need)
 
     parent: Dict[int, int] = {}
 
@@ -193,49 +365,69 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
         if jaccard(shingle_map[int(a)], shingle_map[int(b)]) >= threshold:
             union(int(a), int(b))
 
-    all_ids = read_table(sf_dir, "documents", columns=["doc_id"]).to_pandas()
-    out = pd.DataFrame(
-        {
-            "doc_id": all_ids["doc_id"].astype("int64"),
-            "cluster_id": [find(int(d)) for d in all_ids["doc_id"]],
-        }
-    )
-    return out.sort_values("doc_id").reset_index(drop=True)
+    # chash → cluster map: exact-dup groups follow their rep; candidate
+    # reps follow their component root.  Docs outside the map are
+    # singletons (cluster = own id).
+    h_to_cluster: Dict[int, int] = {}
+    if len(cand):
+        for a, ah in zip(cand["a"], cand["ah"]):
+            h_to_cluster[int(ah)] = find(int(a))
+        for b, bh in zip(cand["b"], cand["bh"]):
+            h_to_cluster[int(bh)] = find(int(b))
+    for ch, rep in zip(dups.get("chash", []), dups.get("rep", [])):
+        h_to_cluster[int(ch)] = find(int(rep))
+
+    map_ref = ray.put(h_to_cluster)
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def label(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(map_ref)
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        out = np.empty(len(ids), dtype=np.int64)
+        for i, t in enumerate(batch["text"].fillna("")):
+            out[i] = m.get(_content_hash64(t), ids[i])
+        return pd.DataFrame({"doc_id": ids, "cluster_id": out})
+
+    return docs.map_batches(label, batch_format="pandas", batch_size=8192)
 
 
 # ----------------------------------------------------------------- simhash
 
 
-class SimHashStage:
-    """64-bit simhash over word features, weights = term frequency."""
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = np.empty(len(batch), dtype=np.int64)
-        for i, text in enumerate(batch["text"].fillna("")):
-            words = text.split()
-            if not words:
-                out[i] = 0
-                continue
-            acc = np.zeros(64, dtype=np.int64)
-            freq: Dict[str, int] = {}
-            for w in words:
-                freq[w] = freq.get(w, 0) + 1
-            for w, f in freq.items():
-                h = _hash64(w.encode("utf-8"))
-                bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits.astype(bool), f, -f)
-            sig = np.uint64(0)
-            for bit in range(64):
-                if acc[bit] > 0:
-                    sig |= np.uint64(1) << np.uint64(bit)
-            out[i] = int(sig.astype(np.int64))
-        return pd.DataFrame({"doc_id": batch["doc_id"], "simhash": out})
+def _simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Batch-vectorized 64-bit simhash (term-frequency weights): blake2b
+    once per distinct word in the batch, sign-bit rows scatter-added per
+    doc with one ``np.add.at`` — no per-word Python loop in the hot path.
+    Per-occurrence sign summation ≡ frequency weighting."""
+    texts = batch["text"].fillna("").reset_index(drop=True)
+    split = texts.str.split()
+    lens = split.str.len().fillna(0).astype(int).to_numpy()
+    exploded = split.explode().dropna()
+    n = len(texts)
+    acc = np.zeros((n, 64), dtype=np.int64)
+    if len(exploded):
+        doc_idx = np.repeat(np.arange(n), lens)
+        codes, uniques = pd.factorize(exploded.to_numpy())
+        wh = np.fromiter(
+            (_hash64(w.encode("utf-8")) for w in uniques),
+            dtype=np.uint64,
+            count=len(uniques),
+        )
+        bits = ((wh[:, None] >> np.arange(64, dtype=np.uint64)) & _U64(1))
+        signs = (bits.astype(np.int64) * 2 - 1)  # ±1 per (word, bit)
+        np.add.at(acc, doc_idx, signs[codes])
+    sig = ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+        axis=1, dtype=np.uint64
+    )
+    return pd.DataFrame(
+        {"doc_id": batch["doc_id"].astype("int64"),
+         "simhash": sig.view(np.int64)}
+    )
 
 
 def simhash_fingerprints(sf_dir: str) -> rd.Dataset:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(SimHashStage, batch_format="pandas", batch_size=4096,
-                          concurrency=(1, 4))
+    return ds.map_batches(_simhash_batch, batch_format="pandas", batch_size=4096)
 
 
 def ngram_jaccard_pairs(
@@ -243,14 +435,7 @@ def ngram_jaccard_pairs(
 ) -> pd.DataFrame:
     """Exact word-shingle Jaccard for given id pairs (the verify kernel,
     exposed standalone)."""
-    need = set(ids_a) | set(ids_b)
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def keep(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[batch["doc_id"].isin(need)]
-
-    kept = docs.map_batches(keep, batch_format="pandas").to_pandas()
-    sh = {int(d): _shingles(t) for d, t in zip(kept["doc_id"], kept["text"].fillna(""))}
+    sh = _shingle_sets_for(sf_dir, set(ids_a) | set(ids_b))
     sims = [jaccard(sh[a], sh[b]) for a, b in zip(ids_a, ids_b)]
     return pd.DataFrame({"a": ids_a, "b": ids_b, "jaccard": sims})
 
@@ -276,7 +461,10 @@ def simhash_neardup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     on at least one whole band, so candidates are pairs sharing a
     (band_id, band_value) bucket — a tiny groupby over (band, value,
     doc_id) rows, never documents — then candidates are verified by
-    popcount.  Same shuffle shape as MinHash-LSH banding.
+    popcount.  Inside a bucket, docs are grouped by their FULL fingerprint
+    first, so the popcount verify runs once per distinct-value pair; the
+    (inherently quadratic) expansion to doc pairs happens only for values
+    that verified — identical fingerprints expand directly with hamming 0.
     """
     n_bands = max_hamming + 1
     width = 64 // n_bands
@@ -285,35 +473,79 @@ def simhash_neardup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
 
     def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
         sig = batch["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
-        rows = {"band_id": [], "band_val": [], "doc_id": [], "simhash": []}
+        n = len(sig)
+        out_band = np.repeat(np.arange(n_bands, dtype=np.int32), n)
+        out_val = np.empty(n_bands * n, dtype=np.int64)
         for b in range(n_bands):
             lo = b * width
             hi = 64 if b == n_bands - 1 else lo + width
-            mask = (np.uint64(1) << np.uint64(hi - lo)) - np.uint64(1)
-            val = (sig >> np.uint64(lo)) & mask
-            rows["band_id"].extend([b] * len(sig))
-            rows["band_val"].extend(val.view(np.int64).tolist())
-            rows["doc_id"].extend(batch["doc_id"].astype("int64").tolist())
-            rows["simhash"].extend(sig.view(np.int64).tolist())
-        return pd.DataFrame(rows)
+            mask = (_U64(1) << _U64(hi - lo)) - _U64(1)
+            out_val[b * n: (b + 1) * n] = ((sig >> _U64(lo)) & mask).view(np.int64)
+        part = (
+            _mix_step(out_band.astype(np.uint64), out_val.view(np.uint64))
+            % np.uint64(N_BUCKET_PARTS)
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "band_id": out_band,
+                "band_val": out_val,
+                "part": part,
+                "doc_id": np.tile(batch["doc_id"].to_numpy(dtype=np.int64), n_bands),
+                "simhash": np.tile(sig.view(np.int64), n_bands),
+            }
+        )
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        uniq = sorted(set(zip(g["doc_id"].astype(int), g["simhash"].astype(int))))
-        out_a, out_b, out_h = [], [], []
-        for i in range(len(uniq)):
-            for j in range(i + 1, len(uniq)):
-                (a, sa), (b, sb) = uniq[i], uniq[j]
-                h = int(bin((sa ^ sb) & ((1 << 64) - 1)).count("1"))
-                if h <= max_hamming:
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_h.append(h)
-        return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_h})
+    def _bucket_pairs(sub: pd.DataFrame) -> Tuple[List[int], List[int], List[int]]:
+        byval: Dict[int, List[int]] = {}
+        for d, s in zip(sub["doc_id"].astype(int), sub["simhash"].astype(int)):
+            byval.setdefault(s, []).append(d)
+        vals = sorted(byval)
+        out_a: List[int] = []
+        out_b: List[int] = []
+        out_h: List[int] = []
+        for vi, v in enumerate(vals):
+            members = sorted(set(byval[v]))
+            for i in range(len(members)):  # identical fingerprints
+                for j in range(i + 1, len(members)):
+                    out_a.append(members[i])
+                    out_b.append(members[j])
+                    out_h.append(0)
+            for w in vals[vi + 1:]:
+                h = int(bin((v ^ w) & ((1 << 64) - 1)).count("1"))
+                if h > max_hamming:
+                    continue
+                for x in members:
+                    for y in sorted(set(byval[w])):
+                        a, b = (x, y) if x < y else (y, x)
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_h.append(h)
+        return out_a, out_b, out_h
+
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        """All buckets of one coarse partition; only buckets with ≥2
+        distinct (doc, sig) rows reach the Python pair loop."""
+        uniq = g.drop_duplicates(["band_id", "band_val", "doc_id"])
+        sizes = uniq.groupby(["band_id", "band_val"])["doc_id"].transform("size")
+        multi = uniq[sizes >= 2]
+        out_a: List[int] = []
+        out_b: List[int] = []
+        out_h: List[int] = []
+        for _, sub in multi.groupby(["band_id", "band_val"]):
+            a, b, h = _bucket_pairs(sub)
+            out_a.extend(a)
+            out_b.extend(b)
+            out_h.extend(h)
+        return pd.DataFrame(
+            {"a": pd.Series(out_a, dtype="int64"),
+             "b": pd.Series(out_b, dtype="int64"),
+             "hamming": pd.Series(out_h, dtype="int64")}
+        )
 
     cand = (
         fp.map_batches(to_bands, batch_format="pandas", batch_size=4096)
-        .groupby(["band_id", "band_val"])
-        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .groupby("part")
+        .map_groups(pairs_in_partition, batch_format="pandas")
         .to_pandas()
     )
     if cand.empty:

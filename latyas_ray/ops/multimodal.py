@@ -119,7 +119,7 @@ def media_features(media_path: str, batch_size: int = 16) -> rd.Dataset:
         FakeImageDecoder,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, 4),
+        concurrency=(1, 8),
     )
 
 
@@ -186,7 +186,7 @@ def media_resize(media_path: str, batch_size: int = 16) -> rd.Dataset:
         ImageResizeStage,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, 4),
+        concurrency=(1, 8),
     )
 
 
@@ -287,5 +287,5 @@ def video_frame_features(video_path: str, stride: int = 10,
         fn_constructor_kwargs={"stride": stride},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, 4),
+        concurrency=(1, 8),
     )

@@ -46,7 +46,9 @@ PAGE_SUFFIX = "\n\n\n"
 
 
 def is_pdf_payload(payload: bytes) -> bool:
-    return payload.startswith(PDF_MAGIC)
+    """True for BOTH channels: real PDF bytes (``%PDF-1.x``) and the
+    synthetic page-description stand-in (``%PDF-SYN``)."""
+    return payload.startswith(b"%PDF")
 
 
 def parse_pdfsyn(payload: bytes) -> List[dict]:
@@ -74,13 +76,37 @@ def detect_page(page: dict) -> List[Region]:
     return out
 
 
-def extract_page(page: dict, page_idx: int) -> Tuple[str, List[Region]]:
-    """Full per-page chain: detect → merge overlaps → route → reflow →
-    assemble.  Returns the page's text (with trailing page suffix) and its
-    regions (meta: order / char offsets are page-local here; the caller
-    rebases char offsets into the whole document)."""
-    regions = detect_page(page)
+def extract_page(page: dict, page_idx: int,
+                 ocr: "OCRRegistry | None" = None) -> Tuple[str, List[Region]]:
+    """Full per-page chain for the pseudo-PDF channel: detect → shared
+    merge/recognize/route/reflow/assemble chain (:func:`page_chain`)."""
+    return page_chain(detect_page(page), page_idx, ocr=ocr)
+
+
+def page_chain(regions: List[Region], page_idx: int,
+               ocr: "OCRRegistry | None" = None) -> Tuple[str, List[Region]]:
+    """Detector-output → page text: merge overlaps → recognize (routed
+    per kind through the OCR registry) → route → reflow → assemble.
+    Shared by the pseudo-PDF and real-PDF channels (the steps downstream
+    of detection are channel-independent, exactly as the reference's
+    ``analyze_pdf`` chain is model-independent).  Returns the page's text
+    (with trailing page suffix) and its regions (meta: order / char
+    offsets are page-local here; the caller rebases char offsets into the
+    whole document)."""
     regions = remove_overlapping(regions, area_threshold=0.5, strategy="merge")
+
+    # M4/A3-A8: per-kind OCR routing (base_pipeline.py:161-180 applies the
+    # rule table per surviving block, post-merge).  The region's carried
+    # text bytes stand in for the crop image; the default registry's echo
+    # backend reproduces them exactly, a swapped backend (e.g.
+    # DigestOCRModel) changes the output deterministically.
+    if ocr is None:
+        ocr = _default_ocr()
+    for r in regions:
+        if r.text is not None:
+            rec = ocr.recognize(r.kind, r.text)
+            if rec is not None:
+                r.text = rec
 
     # J1: flag text regions containing embedded equations (margin 20,
     # base_pipeline.py:127-146) — with real models these route to the
@@ -129,15 +155,52 @@ def extract_page(page: dict, page_idx: int) -> Tuple[str, List[Region]]:
     return page_text, regions
 
 
-def extract_pdf(payload: bytes) -> Tuple[str, List[Region]]:
+_OCR_SINGLETON = None
+
+
+def _default_ocr():
+    """Lazy per-process default registry (echo backends)."""
+    global _OCR_SINGLETON
+    if _OCR_SINGLETON is None:
+        from .models.ocr_protocol import default_registry
+
+        _OCR_SINGLETON = default_registry()
+    return _OCR_SINGLETON
+
+
+def extract_pdf(payload: bytes,
+                ocr: "OCRRegistry | None" = None) -> Tuple[str, List[Region]]:
     """Whole-document extraction: pages concatenated exactly as the
-    reference writer does (``tools/pdf2text.py:59-62``)."""
+    reference writer does (``tools/pdf2text.py:59-62``).  Routes by
+    payload: ``%PDF-SYN`` page descriptions → the stub-detector channel;
+    real ``%PDF-`` bytes → the pure-Python parser channel
+    (:mod:`latyas_ray.pdf_real`); both share :func:`page_chain`."""
+    if not payload.startswith(PDF_MAGIC):
+        from .pdf_real import parse_pdf_pages, regions_from_runs
+
+        pages_real = parse_pdf_pages(payload)
+        doc_parts_r: List[str] = []
+        all_regions_r: List[Region] = []
+        base_r = 0
+        for page_idx, page in enumerate(pages_real):
+            page_text, regions = page_chain(
+                regions_from_runs(page), page_idx, ocr=ocr
+            )
+            for r in regions:
+                if r.meta["char_start"] >= 0:
+                    r.meta["char_start"] += base_r
+                    r.meta["char_end"] += base_r
+            doc_parts_r.append(page_text)
+            all_regions_r.extend(regions)
+            base_r += len(page_text)
+        return "".join(doc_parts_r), all_regions_r
+
     pages = parse_pdfsyn(payload)
     doc_parts: List[str] = []
     all_regions: List[Region] = []
     base = 0
     for page_idx, page in enumerate(pages):
-        page_text, regions = extract_page(page, page_idx)
+        page_text, regions = extract_page(page, page_idx, ocr=ocr)
         for r in regions:
             if r.meta["char_start"] >= 0:
                 r.meta["char_start"] += base

@@ -162,9 +162,24 @@ class PdfExtractStage:
     (never per call — the reference rebuilds an ONNX session per detect at
     ``texteller_layout_model.py:70-71``, an anti-pattern we do not copy)."""
 
-    def __init__(self, model_name: Optional[str] = None) -> None:
+    def __init__(self, model_name: Optional[str] = None,
+                 ocr_backend: Optional[str] = None) -> None:
         self.model_name = model_name or "stub-layout-detector/1"
         import latyas_ray.pdf_extract  # noqa: F401 — warm compile in-actor
+
+        # Warm OCR state: registry + backends built ONCE per actor
+        # (``add_ocr_model`` calls live in pipeline __init__ in the
+        # reference too, paper_pipeline.py:35-61).  ``ocr_backend``
+        # selects the registered backend family: None/"echo" → the
+        # byte-identical echo channel, "digest" → DigestOCRModel.
+        from latyas_ray.models.ocr_protocol import (
+            DigestOCRModel,
+            default_registry,
+        )
+
+        self.ocr = default_registry(
+            DigestOCRModel() if ocr_backend == "digest" else None
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payload = batch.column("_pdf_payload")
@@ -180,7 +195,7 @@ class PdfExtractStage:
             todo.column("_pdf_text").to_pylist(),
             todo.column("lang").to_pylist(),
         ):
-            res = extract_one(url, pl, text, lang)
+            res = extract_one(url, pl, text, lang, ocr_registry=self.ocr)
             for name in EXTRACTED_SCHEMA.names:
                 out[name].append(res[name])
         arrays = [pa.array(out[f.name], type=f.type) for f in EXTRACTED_SCHEMA]

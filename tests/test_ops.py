@@ -11,11 +11,10 @@ import pyarrow.parquet as pq
 import pytest
 
 from latyas_ray.ops.dedup import (
-    MinHashStage,
-    SimHashStage,
     _shingles,
     jaccard,
     minhash_dedup,
+    minhash_signature,
     dedup_exact,
 )
 
@@ -49,7 +48,7 @@ def planted_dir(ray_session, tmp_path_factory):
 
 
 def test_minhash_finds_planted_neardups(planted_dir):
-    out = minhash_dedup(planted_dir, threshold=0.7)
+    out = minhash_dedup(planted_dir, threshold=0.7).to_pandas()
     cl = dict(zip(out["doc_id"], out["cluster_id"]))
     assert cl[0] == cl[1] == cl[2] == 0  # near+exact dups cluster to min id
     assert cl[3] == 3 and cl[4] == 4    # unrelated docs stay singletons
@@ -63,11 +62,10 @@ def test_dedup_exact_planted(ray_session, planted_dir):
 
 
 def test_minhash_signature_approximates_jaccard():
-    stage = MinHashStage()
     a = _shingles("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 " * 5)
     b = _shingles("w1 w2 w3 w4 w5 w6 w7 w8 w9 zz " * 5)
     true_j = jaccard(a, b)
-    sa, sb = stage.signature(a), stage.signature(b)
+    sa, sb = minhash_signature(a), minhash_signature(b)
     est = float((sa == sb).mean())
     assert abs(est - true_j) < 0.25  # 128 perms → coarse but correlated
 

@@ -72,6 +72,11 @@ OPS_QUERIES = [
     "doc_stats_by_lang", "token_counts", "quality_stats", "top_docs",
     "dedup_exact", "ann_topk", "embedding_neardup", "events_window_counts",
     "sessionize", "lineitem_pricing_summary", "orders_by_nation",
+    # serial-oracle snapshot queries (latyas_ray/oracles.py)
+    "lang_id", "doc_fingerprints", "minhash_dedup", "simhash_fingerprints",
+    "simhash_neardup", "ann_topk_ivf", "embedding_neardup_ivf",
+    "embedding_kmeans", "media_features", "media_resize",
+    "video_frame_features",
 ]
 
 
@@ -102,17 +107,12 @@ def test_extraction_queries_match_golden(entry_mod, con):
         _compare(name, ray_df, sql_df)
 
 
-def test_rows_only_queries_run(entry_mod):
-    """Queries without SQL oracles still must run and return rows with a
-    stable schema (the driver's weaker check)."""
-    for name in ("lang_id", "doc_fingerprints", "minhash_dedup",
-                 "simhash_fingerprints", "ann_topk_ivf", "media_features"):
-        df = _to_pandas(entry_mod.queries()[name](SF_DIR))
-        assert len(df) > 0, name
-        df2 = _to_pandas(entry_mod.queries()[name](SF_DIR))
-        pd.testing.assert_frame_equal(
-            _normalize(df), _normalize(df2), check_dtype=False, obj=name
-        )
+def test_every_query_has_an_oracle(entry_mod):
+    """Round-2 invariant: every ``queries()`` entry has an ``oracle_sql()``
+    entry (no more rows-only checks on the driver scoreboard)."""
+    q = set(entry_mod.queries())
+    o = set(entry_mod.oracle_sql())
+    assert q == o, f"missing oracles: {sorted(q - o)}; stale: {sorted(o - q)}"
 
 
 def test_entry_smoke(entry_mod):
