@@ -219,3 +219,28 @@ def test_mask_keep_crop_regions():
     assert crop_region(img, (2, 2, 5, 5)).shape == (3, 3)
     assert len(slice_regions(img, [(0, 0, 3, 3), (5, 5, 20, 20)])) == 2
     assert slice_regions(img, [(5, 5, 20, 20)])[0].shape == (5, 5)
+
+
+def test_visualize_sink_ppm_and_labels():
+    """S8 visualize sink: per-kind outline colors on a white canvas, PPM
+    header, top-right label anchors (layout.py:174-200 semantics)."""
+    import json
+
+    import numpy as np
+
+    from latyas_ray.functions.visualize import visualize_regions
+
+    regions = [
+        {"kind": "Text", "x1": 10, "y1": 20, "x2": 110, "y2": 60},
+        {"kind": "Title", "x1": 10, "y1": 80, "x2": 200, "y2": 120},
+    ]
+    ppm, labels = visualize_regions(regions, page_w=300, page_h=200)
+    assert ppm.startswith(b"P6\n300 200\n255\n")
+    img = np.frombuffer(ppm[len(b"P6\n300 200\n255\n"):], dtype=np.uint8)
+    img = img.reshape(200, 300, 3)
+    assert tuple(img[20, 50]) == (255, 0, 0)      # Text outline: red
+    assert tuple(img[80, 50]) == (0, 0, 255)      # Title outline: blue
+    assert tuple(img[150, 250]) == (255, 255, 255)  # background white
+    lab = json.loads(labels)
+    assert lab[0] == {"label": "Text-0", "x": 110, "y": 20}
+    assert lab[1]["label"] == "Title-1"
