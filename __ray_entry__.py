@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _textstats.token_counts,
         "quality_stats": _textstats.quality_stats,
         "top_docs": _textstats.top_docs,
+        "quality_filter": _textstats.quality_filter,
+        "chars_percentiles_by_lang": _textstats.chars_percentiles_by_lang,
         "lang_id": _oracled("lang_id", _textstats.lang_id),
         "doc_fingerprints": _oracled("doc_fingerprints", _textstats.doc_fingerprints),
         # dedup family
@@ -131,10 +133,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "embedding_neardup_ivf", _similarity.embedding_neardup_ivf
         ),
         "embedding_kmeans": _oracled("embedding_kmeans", _similarity.embedding_kmeans),
+        "knn_label_vote": _similarity.knn_label_vote,
         # stream-shaped ops over events
         "events_window_counts": _events.events_window_counts,
         "events_hopping_counts": _events.events_hopping_counts,
         "sessionize": _events.sessionize,
+        "events_top_users_by_value": _events.events_top_users_by_value,
+        "events_props_rollup": _events.events_props_rollup,
         # relational patterns (partial agg, broadcast join)
         "lineitem_pricing_summary": _relational.lineitem_pricing_summary,
         "orders_by_nation": _relational.orders_by_nation,
@@ -312,6 +317,68 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts, "
             "CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) "
             "AS sum_retail_cents FROM part GROUP BY p_brand"
+        ),
+        "quality_filter": (
+            "WITH base AS (SELECT doc_id, "
+            "CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END "
+            "AS n_words, "
+            "CAST(length(text) - len(regexp_extract_all(text, '\\s')) AS BIGINT) "
+            "AS char_sum, "
+            "CAST(length(text) AS BIGINT) AS n_chars, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha "
+            "FROM documents), "
+            "g AS (SELECT doc_id, n_words, "
+            "CASE WHEN n_words > 0 THEN (100 * char_sum) // n_words ELSE 0 END "
+            "AS mean_word_len_c100, "
+            "CASE WHEN n_chars > 0 THEN (100 * n_alpha) // n_chars ELSE 0 END "
+            "AS alpha_ratio_c100 FROM base) "
+            "SELECT doc_id, n_words, mean_word_len_c100, alpha_ratio_c100, "
+            "(n_words >= 15 AND n_words <= 100000 "
+            "AND mean_word_len_c100 >= 150 AND mean_word_len_c100 <= 1200 "
+            "AND alpha_ratio_c100 >= 50) AS passes FROM g"
+        ),
+        "chars_percentiles_by_lang": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50_chars, "
+            "CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90_chars "
+            "FROM documents GROUP BY lang"
+        ),
+        "knn_label_vote": (
+            "WITH q AS (SELECT vec_id, embedding FROM embeddings "
+            "ORDER BY vec_id LIMIT 5), "
+            "sims AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, "
+            "n.label AS label, "
+            "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "CAST(n.embedding AS DOUBLE[])), 6) AS sim "
+            "FROM q CROSS JOIN embeddings n WHERE n.vec_id <> q.vec_id), "
+            "ranked AS (SELECT query_id, label, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk "
+            "FROM sims), "
+            "votes AS (SELECT query_id, label, count(*) AS n FROM ranked "
+            "WHERE rnk <= 10 GROUP BY query_id, label), "
+            "win AS (SELECT query_id, label, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY n DESC, label) AS r FROM votes) "
+            "SELECT query_id, CAST(label AS BIGINT) AS pred_label "
+            "FROM win WHERE r = 1"
+        ),
+        "events_top_users_by_value": (
+            "WITH totals AS (SELECT event_type, user_id, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS total_cents FROM events GROUP BY event_type, user_id), "
+            "ranked AS (SELECT event_type, user_id, total_cents, "
+            "row_number() OVER (PARTITION BY event_type "
+            "ORDER BY total_cents DESC, user_id) AS rnk FROM totals) "
+            'SELECT event_type, CAST(rnk AS BIGINT) AS "rank", user_id, '
+            "total_cents FROM ranked WHERE rnk <= 3"
+        ),
+        "events_props_rollup": (
+            "WITH e AS (SELECT event_type, "
+            "CAST(COALESCE(NULLIF(regexp_extract(props, "
+            "'\"k\":\\s*(-?\\d+)', 1), ''), '0') AS BIGINT) AS k FROM events) "
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(k) AS BIGINT) AS sum_k, CAST(min(k) AS BIGINT) AS min_k, "
+            "CAST(max(k) AS BIGINT) AS max_k FROM e GROUP BY event_type"
         ),
         # --- serial-oracle snapshots (latyas_ray/oracles.py): the SQL side
         # reads an independently-computed serial result, the same mechanism

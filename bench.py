@@ -107,6 +107,8 @@ def run_bench() -> dict:
         "token_counts": textstats.token_counts,
         "quality_stats": textstats.quality_stats,
         "top_docs": textstats.top_docs,
+        "quality_filter": textstats.quality_filter,
+        "chars_percentiles_by_lang": textstats.chars_percentiles_by_lang,
         "lang_id": textstats.lang_id,
         "doc_fingerprints": textstats.doc_fingerprints,
         "dedup_exact": dedup.dedup_exact,
@@ -118,9 +120,12 @@ def run_bench() -> dict:
         "embedding_neardup": similarity.embedding_neardup_pairs,
         "embedding_neardup_ivf": similarity.embedding_neardup_ivf,
         "embedding_kmeans": similarity.embedding_kmeans,
+        "knn_label_vote": similarity.knn_label_vote,
         "events_window_counts": events.events_window_counts,
         "events_hopping_counts": events.events_hopping_counts,
         "sessionize": events.sessionize,
+        "events_top_users_by_value": events.events_top_users_by_value,
+        "events_props_rollup": events.events_props_rollup,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
         "orders_by_nation": relational.orders_by_nation,
         "top_suppliers_by_revenue": relational.top_suppliers_by_revenue,

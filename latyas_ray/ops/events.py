@@ -101,3 +101,102 @@ def events_hopping_counts(sf_dir: str) -> pd.DataFrame:
     )
     out["n_events"] = out["n_events"].astype("int64")
     return out
+
+
+def events_top_users_by_value(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Top-``k`` users per event_type by total value (integer cents —
+    exact).  Scale shape: per-batch partial sums, then a shuffle keyed by
+    a coarse hash of (event_type, user_id) — every (type, user) total is
+    complete inside its partition, so each partition emits only its local
+    top-``k`` per type and the driver merges O(partitions × types × k)
+    rows.  No global sort, no unbounded driver state."""
+    import numpy as np
+
+    from ..ops.dedup import _mix_step
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(batch["value"].to_numpy(dtype=np.float64) * 100).astype(
+            np.int64
+        )
+        g = (
+            batch.assign(cents=cents)
+            .groupby(["event_type", "user_id"], as_index=False)["cents"]
+            .sum()
+        )
+        uh = _mix_step(
+            g["user_id"].to_numpy(dtype=np.int64).astype(np.uint64),
+            pd.util.hash_array(g["event_type"].to_numpy(dtype=object)).astype(
+                np.uint64
+            ),
+        )
+        g["part"] = (uh % np.uint64(64)).astype("int64")
+        return g
+
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        totals = (
+            g.groupby(["event_type", "user_id"], as_index=False)["cents"].sum()
+        )
+        return (
+            totals.sort_values(
+                ["event_type", "cents", "user_id"],
+                ascending=[True, False, True],
+            )
+            .groupby("event_type")
+            .head(k)
+        )[["event_type", "user_id", "cents"]]
+
+    parts = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=16384)
+        .groupby("part")
+        .map_groups(local_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    top = (
+        parts.sort_values(
+            ["event_type", "cents", "user_id"], ascending=[True, False, True]
+        )
+        .groupby("event_type")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    top["rank"] = top.groupby("event_type").cumcount() + 1
+    out = top.rename(columns={"cents": "total_cents"})
+    return out[["event_type", "rank", "user_id", "total_cents"]].astype(
+        {"rank": "int64", "user_id": "int64", "total_cents": "int64"}
+    )
+
+
+def events_props_rollup(sf_dir: str) -> pd.DataFrame:
+    """Per-type rollup of the JSON ``props`` payload field ``k``:
+    (event_type, n_events, sum_k, min_k, max_k).  Extraction is a
+    vectorized regex over the JSON strings inside ``map_batches``
+    (compiled once per process); the shuffle carries one partial row per
+    (type, batch)."""
+    import re
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+    pat = re.compile(r'"k":\s*(-?\d+)')
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            batch["props"].fillna("").str.extract(pat, expand=False)
+            .fillna("0").astype("int64")
+        )
+        g = (
+            batch.assign(k=k)
+            .groupby("event_type")["k"]
+            .agg(["count", "sum", "min", "max"])
+            .reset_index()
+        )
+        return g.rename(columns={"count": "n_events", "sum": "sum_k",
+                                 "min": "min_k", "max": "max_k"})
+
+    out = merge_partials(
+        ds.map_batches(partial, batch_format="pandas", batch_size=16384),
+        keys=["event_type"],
+        agg={"n_events": "sum", "sum_k": "sum", "min_k": "min", "max_k": "max"},
+    )
+    return out.astype({"n_events": "int64", "sum_k": "int64",
+                       "min_k": "int64", "max_k": "int64"})

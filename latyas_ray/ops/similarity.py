@@ -421,3 +421,40 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5) -> pd.DataFrame:
 
     out = ds.map_batches(assign_batch, batch_format="pandas", batch_size=4096).to_pandas()
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def knn_label_vote(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.DataFrame:
+    """kNN classification over the embedding table: each query vector (the
+    ``n_queries`` smallest vec_ids) takes the majority ``label`` among its
+    ``k`` cosine-nearest neighbors (ties → smallest label).  The neighbor
+    search is the brute-force top-k (broadcast queries, per-batch matmul
+    partials); the label lookup is a typed pyarrow semi-join over the tiny
+    winner set — never a shuffle join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    top = ann_topk(sf_dir, n_queries=n_queries, k=k)
+    need = pa.array(sorted(set(top["neighbor_id"])), pa.int64())
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "label"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("vec_id"), value_set=need))
+
+    labels = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    lab = dict(zip(labels["vec_id"].astype(int), labels["label"].astype(int)))
+    top = top.assign(label=top["neighbor_id"].map(lab))
+    votes = (
+        top.groupby(["query_id", "label"])
+        .size()
+        .rename("n")
+        .reset_index()
+        .sort_values(["query_id", "n", "label"], ascending=[True, False, True])
+    )
+    win = votes.groupby("query_id").head(1)
+    return (
+        win[["query_id", "label"]]
+        .rename(columns={"label": "pred_label"})
+        .sort_values("query_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )

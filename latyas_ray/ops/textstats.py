@@ -118,6 +118,90 @@ def top_docs(sf_dir: str, k: int = 20) -> pd.DataFrame:
     return out[["doc_id", "n_chars"]]
 
 
+# --------------------------------------------------------- quality filter
+
+# Gopher-style gate bounds (integer-exact so the SQL oracle matches bit
+# for bit: mean word length is carried as a floor-divided centi-value)
+QF_MIN_WORDS, QF_MAX_WORDS = 15, 100_000
+QF_MIN_MWL_C100, QF_MAX_MWL_C100 = 150, 1_200
+QF_MIN_ALPHA_C100 = 50
+
+
+def quality_filter(sf_dir: str) -> rd.Dataset:
+    """Per-doc quality-gate components + verdict (the Gopher-rule shape a
+    pretraining pipeline filters with): whitespace word count, mean word
+    length (×100, floor), alpha ratio (×100, floor), and the boolean
+    gate.  All integer-valued → exactly SQL-expressible."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gate(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        n_words = text.str.split().str.len().fillna(0).astype("int64")
+        char_sum = (
+            text.str.len() - text.str.count(r"\s")
+        ).astype("int64")  # total non-whitespace chars == sum of word lens
+        n_chars = text.str.len().astype("int64")
+        n_alpha = text.str.count(r"[A-Za-z]").astype("int64")
+        mwl = np.where(n_words > 0, (100 * char_sum) // n_words.clip(lower=1), 0)
+        alpha = np.where(n_chars > 0, (100 * n_alpha) // n_chars.clip(lower=1), 0)
+        passes = (
+            (n_words >= QF_MIN_WORDS) & (n_words <= QF_MAX_WORDS)
+            & (mwl >= QF_MIN_MWL_C100) & (mwl <= QF_MAX_MWL_C100)
+            & (alpha >= QF_MIN_ALPHA_C100)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "n_words": n_words,
+                "mean_word_len_c100": mwl.astype("int64"),
+                "alpha_ratio_c100": alpha.astype("int64"),
+                "passes": passes.astype(bool),
+            }
+        )
+
+    return ds.map_batches(gate, batch_format="pandas", batch_size=8192)
+
+
+def chars_percentiles_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Exact p50/p90 of n_chars per lang, computed DISTRIBUTED without a
+    sort: per-batch (lang, n_chars) → count partials (document length has
+    bounded cardinality, so the partial set is tiny), merged into per-lang
+    histograms on the driver, then the discrete quantile read off the
+    cumulative counts — ``quantile_disc`` semantics (index
+    ``ceil(q·n) − 1`` of the sorted multiset; validated against DuckDB at
+    every scale factor).  A ``sort().limit()`` plan would shuffle every
+    row for two order statistics."""
+    import math
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["lang", "n_chars"]).size().reset_index(name="cnt")
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=8192).to_pandas()
+    hist = parts.groupby(["lang", "n_chars"])["cnt"].sum().reset_index()
+
+    rows = []
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("n_chars")
+        vals = g["n_chars"].to_numpy(dtype=np.int64)
+        cnts = g["cnt"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+
+        def disc(q: float) -> int:
+            idx = math.ceil(q * n) - 1
+            return int(vals[np.searchsorted(cum, idx + 1)])
+
+        rows.append((lang, n, disc(0.5), disc(0.9)))
+    out = pd.DataFrame(rows, columns=["lang", "n_docs", "p50_chars", "p90_chars"])
+    return out.sort_values("lang").reset_index(drop=True).astype(
+        {"n_docs": "int64", "p50_chars": "int64", "p90_chars": "int64"}
+    )
+
+
 # ------------------------------------------------------------- language ID
 
 _STOPWORDS = {

@@ -72,6 +72,9 @@ OPS_QUERIES = [
     "doc_stats_by_lang", "token_counts", "quality_stats", "top_docs",
     "dedup_exact", "ann_topk", "embedding_neardup", "events_window_counts",
     "sessionize", "lineitem_pricing_summary", "orders_by_nation",
+    # round-2 additions (plain SQL oracles)
+    "quality_filter", "chars_percentiles_by_lang", "knn_label_vote",
+    "events_top_users_by_value", "events_props_rollup",
     # serial-oracle snapshot queries (latyas_ray/oracles.py)
     "lang_id", "doc_fingerprints", "minhash_dedup", "simhash_fingerprints",
     "simhash_neardup", "ann_topk_ivf", "embedding_neardup_ivf",
