@@ -93,6 +93,16 @@ def _oracled(name: str, fn: Callable[[str], Any],
     return q
 
 
+def _q_latex_normalize(sf_dir: str):
+    from latyas_ray.pipelines.extract_pipeline import latex_normalize_dataset
+
+    sf = sf_label_from_dir(sf_dir)
+    corpus = ensure_corpus_for_sf(sf)
+    if sf == _GOLDEN_SF:
+        ensure_oracle(sf_dir, sf, "latex_normalize")
+    return latex_normalize_dataset(corpus)
+
+
 def entry() -> Any:
     """Flagship: synth corpus at sf0.001 → streaming extraction pipeline."""
     corpus = ensure_corpus_for_sf("sf0.001")
@@ -105,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # extraction pipelines (verified vs serial-oracle golden snapshot)
         "extract_pipeline": _q_extract_pipeline,
         "extract_regions": _q_extract_regions,
+        "latex_normalize": _q_latex_normalize,
         # text analysis over documents
         "doc_stats_by_lang": _textstats.doc_stats_by_lang,
         "token_counts": _textstats.token_counts,
@@ -383,6 +394,10 @@ def oracle_sql() -> dict[str, str]:
         # --- serial-oracle snapshots (latyas_ray/oracles.py): the SQL side
         # reads an independently-computed serial result, the same mechanism
         # as the extraction golden ---
+        "latex_normalize": (
+            "SELECT url, eq_idx, raw, katex "
+            f"FROM read_parquet('{oracle_path(_GOLDEN_SF, 'latex_normalize')}')"
+        ),
         "lang_id": (
             "SELECT doc_id, lang_pred "
             f"FROM read_parquet('{oracle_path(_GOLDEN_SF, 'lang_id')}')"

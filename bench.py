@@ -42,6 +42,16 @@ def _consume(res) -> int:
     return len(res)
 
 
+def _quiet_worker_logs() -> None:
+    import logging
+
+    import ray.data  # noqa: F401 — runs ray.data's logging config FIRST,
+    # so the level set here isn't overwritten when the worker first
+    # touches a dataset block
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
 def run_bench() -> dict:
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -55,6 +65,11 @@ def run_bench() -> dict:
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            # Quiet benign per-block log noise inside WORKER processes
+            # (e.g. ray.data's "Failed to hash the schemas" warning when a
+            # task yields several pandas blocks) — driver-side logger
+            # levels don't reach workers.
+            runtime_env={"worker_process_setup_hook": _quiet_worker_logs},
         )
     import logging
 
@@ -99,6 +114,13 @@ def run_bench() -> dict:
     t_extract = time.time() - t0
 
     queries = {"extract_pipeline": round(t_extract, 3)}
+
+    if not skip_queries:
+        from latyas_ray.pipelines.extract_pipeline import latex_normalize_dataset
+
+        t0 = time.time()
+        _consume(latex_normalize_dataset(corpus))
+        queries["latex_normalize"] = round(time.time() - t0, 3)
 
     from latyas_ray.ops import dedup, events, relational, similarity, textstats
 

@@ -544,6 +544,43 @@ def _oracle_video_frames(sf_dir: str, stride: int = 10,
     )
 
 
+def _oracle_latex_normalize(sf_dir: str) -> pa.Table:
+    """Serial scan of the corpus pages for ``$$…$$`` equations + KaTeX
+    normalization — the golden side of the ``latex_normalize`` pipeline
+    (verifies distributed ≡ serial for the M8 kernel; the kernel's own
+    semantics are pinned by its unit tests)."""
+    import glob
+    import re
+
+    from .corpus import ensure_corpus_for_sf, sf_label_from_dir
+    from .functions.latex import to_katex
+
+    label = sf_label_from_dir(sf_dir)
+    corpus = ensure_corpus_for_sf(label, use_ray="no")
+    eq_re = re.compile(r"\$\$(.+?)\$\$", re.DOTALL)
+    urls, idxs, raws, katexs = [], [], [], []
+    for path in sorted(glob.glob(os.path.join(corpus, "pages-*.parquet"))):
+        t = pq.read_table(path, columns=["url", "html"])
+        for url, html in zip(t.column("url").to_pylist(),
+                             t.column("html").to_pylist()):
+            if html is None or html.startswith(b"%PDF"):
+                continue
+            text = html.decode("utf-8", errors="replace")
+            for i, m in enumerate(eq_re.findall(text)):
+                urls.append(url)
+                idxs.append(i)
+                raws.append(m)
+                katexs.append(to_katex(m))
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "eq_idx": pa.array(idxs, pa.int64()),
+            "raw": pa.array(raws, pa.string()),
+            "katex": pa.array(katexs, pa.string()),
+        }
+    )
+
+
 _BUILDERS = {
     "lang_id": _oracle_lang_id,
     "doc_fingerprints": _oracle_doc_fingerprints,
@@ -552,6 +589,7 @@ _BUILDERS = {
     "ann_topk_ivf": _oracle_ann_topk_ivf,
     "embedding_neardup_ivf": _oracle_embedding_neardup_ivf,
     "embedding_kmeans": _oracle_embedding_kmeans,
+    "latex_normalize": _oracle_latex_normalize,
     "media_features": _oracle_media_features,
     "media_resize": _oracle_media_resize,
     "video_frame_features": _oracle_video_frames,

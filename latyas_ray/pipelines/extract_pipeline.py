@@ -307,3 +307,52 @@ def rollup_metrics(out_dir: str, write_json: bool = True) -> "object":
             json.dump(out.to_dict(orient="records"), f, sort_keys=True)
         os.replace(tmp, path)
     return out
+
+
+# ------------------------------------------------------- latex normalize
+
+_EQ_RE = None
+
+
+def latex_normalize_dataset(corpus_dir: str) -> "rd.Dataset":
+    """M8 as a first-class pipeline: scan the corpus pages for display
+    equations (``$$…$$`` in the raw HTML payload) and emit each with its
+    KaTeX-normalized form (``functions.latex.to_katex``, the re-expression
+    of the reference's ``to_katex`` chain).  Output: (url, eq_idx, raw,
+    katex) — one row per equation, map-only, no shuffle."""
+    import re
+
+    import pyarrow as pa
+
+    from ..functions.latex import to_katex
+
+    global _EQ_RE
+    if _EQ_RE is None:
+        _EQ_RE = re.compile(r"\$\$(.+?)\$\$", re.DOTALL)
+    eq_re = _EQ_RE
+
+    ds = read_pages(corpus_dir).select_columns(["url", "html"])
+
+    def eqs(batch: pa.Table) -> pa.Table:
+        urls, idxs, raws, katexs = [], [], [], []
+        for url, html in zip(
+            batch.column("url").to_pylist(), batch.column("html").to_pylist()
+        ):
+            if html is None or html.startswith(b"%PDF"):
+                continue
+            text = html.decode("utf-8", errors="replace")
+            for i, m in enumerate(eq_re.findall(text)):
+                urls.append(url)
+                idxs.append(i)
+                raws.append(m)
+                katexs.append(to_katex(m))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "eq_idx": pa.array(idxs, pa.int64()),
+                "raw": pa.array(raws, pa.string()),
+                "katex": pa.array(katexs, pa.string()),
+            }
+        )
+
+    return ds.map_batches(eqs, batch_format="pyarrow", batch_size=512)

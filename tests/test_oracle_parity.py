@@ -75,6 +75,8 @@ OPS_QUERIES = [
     # round-2 additions (plain SQL oracles)
     "quality_filter", "chars_percentiles_by_lang", "knn_label_vote",
     "events_top_users_by_value", "events_props_rollup",
+    # corpus-facing M8 pipeline vs its serial snapshot
+    "latex_normalize",
     # serial-oracle snapshot queries (latyas_ray/oracles.py)
     "lang_id", "doc_fingerprints", "minhash_dedup", "simhash_fingerprints",
     "simhash_neardup", "ann_topk_ivf", "embedding_neardup_ivf",
