@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs": _textstats.top_docs,
         "quality_filter": _textstats.quality_filter,
         "chars_percentiles_by_lang": _textstats.chars_percentiles_by_lang,
+        "word_counts": _textstats.word_counts,
         "lang_id": _oracled("lang_id", _textstats.lang_id),
         "doc_fingerprints": _oracled("doc_fingerprints", _textstats.doc_fingerprints),
         # dedup family
@@ -348,6 +349,13 @@ def oracle_sql() -> dict[str, str]:
             "(n_words >= 15 AND n_words <= 100000 "
             "AND mean_word_len_c100 >= 150 AND mean_word_len_c100 <= 1200 "
             "AND alpha_ratio_c100 >= 50) AS passes FROM g"
+        ),
+        "word_counts": (
+            "WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), "
+            "'\\s+')) AS word FROM documents WHERE trim(text) <> ''), "
+            "c AS (SELECT word, count(*) AS n FROM w GROUP BY word) "
+            "SELECT word, CAST(n AS BIGINT) AS n FROM c "
+            "ORDER BY n DESC, word LIMIT 100"
         ),
         "chars_percentiles_by_lang": (
             "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "

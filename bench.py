@@ -131,6 +131,7 @@ def run_bench() -> dict:
         "top_docs": textstats.top_docs,
         "quality_filter": textstats.quality_filter,
         "chars_percentiles_by_lang": textstats.chars_percentiles_by_lang,
+        "word_counts": textstats.word_counts,
         "lang_id": textstats.lang_id,
         "doc_fingerprints": textstats.doc_fingerprints,
         "dedup_exact": dedup.dedup_exact,

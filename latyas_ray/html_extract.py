@@ -281,9 +281,17 @@ def _is_boilerplate_container(node: Node) -> bool:
     if _BOILER_CLASS_RE.search(_classes(node)):
         return True
     if node.tag in CONTAINER_TAGS:
+        # link text first: it's computed from <a> subtrees only (cheap),
+        # and when it is zero the density ratio can never reach the
+        # threshold — skipping the whole-container collapse_ws, which
+        # profiling showed was ~18% of giant-document extraction.
+        # Identical semantics: 0 / total < threshold for every total.
+        link_len = _link_text_len(node)
+        if link_len == 0:
+            return False
         total = len(_collapsed_text(node))
         if 0 < total < LINK_DENSITY_MAX_CHARS:
-            if _link_text_len(node) / total >= LINK_DENSITY_THRESHOLD:
+            if link_len / total >= LINK_DENSITY_THRESHOLD:
                 return True
     return False
 

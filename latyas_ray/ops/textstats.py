@@ -295,3 +295,46 @@ def doc_fingerprints(sf_dir: str, window: int = 16) -> rd.Dataset:
         )
 
     return ds.map_batches(fp, batch_format="pandas", batch_size=4096)
+
+
+def word_counts(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Corpus-wide top-``k`` words — the canonical wide text shuffle, done
+    scale-safe: per-batch vectorized explode + value_counts (the partial
+    combine), shuffle keyed by a COARSE hash of the word (bounded Python
+    callbacks; every word's total is complete inside its partition),
+    per-partition C-groupby reduce + local top-``k``, driver merges
+    O(partitions × k) survivor rows.  Ties break on the word (UTF-8
+    codepoint order — identical in pandas and DuckDB binary collation)."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].fillna("").str.split().explode().dropna()
+        if not len(words):
+            return pd.DataFrame(
+                {"word": pd.Series(dtype="object"),
+                 "n": pd.Series(dtype="int64"),
+                 "part": pd.Series(dtype="int64")}
+            )
+        vc = words.value_counts()
+        h = pd.util.hash_array(vc.index.to_numpy(dtype=object))
+        return pd.DataFrame(
+            {"word": vc.index, "n": vc.to_numpy(dtype=np.int64),
+             "part": (h % 64).astype("int64")}
+        )
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        totals = g.groupby("word", as_index=False)["n"].sum()
+        return totals.sort_values(["n", "word"], ascending=[False, True]).head(k)
+
+    parts = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=8192)
+        .groupby("part")
+        .map_groups(reduce_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        parts.sort_values(["n", "word"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return out[["word", "n"]].astype({"n": "int64"})

@@ -73,8 +73,8 @@ OPS_QUERIES = [
     "dedup_exact", "ann_topk", "embedding_neardup", "events_window_counts",
     "sessionize", "lineitem_pricing_summary", "orders_by_nation",
     # round-2 additions (plain SQL oracles)
-    "quality_filter", "chars_percentiles_by_lang", "knn_label_vote",
-    "events_top_users_by_value", "events_props_rollup",
+    "quality_filter", "chars_percentiles_by_lang", "word_counts",
+    "knn_label_vote", "events_top_users_by_value", "events_props_rollup",
     # corpus-facing M8 pipeline vs its serial snapshot
     "latex_normalize",
     # serial-oracle snapshot queries (latyas_ray/oracles.py)
