@@ -260,3 +260,47 @@ def test_tsr_serializers_match_reference_port_fuzz():
         assert cells_to_csv(cells) == _ref_cells_to_csv(cells), f"csv case {case}"
         assert cells_to_html(cells) == _ref_cells_to_html(cells), f"html case {case}"
     assert cells_to_csv([]) is None
+
+
+def test_pdf_stage_backend_swap_at_actor_level():
+    """PdfExtractStage holds the OCR registry as warm actor state;
+    constructing the stage with ocr_backend="digest" changes PDF rows'
+    extracted bytes deterministically while HTML rows pass through
+    untouched."""
+    import json
+
+    import pyarrow as pa
+
+    from latyas_ray.pdf_extract import PDF_MAGIC
+    from latyas_ray.stages.extract_stage import (
+        PdfExtractStage,
+        ROUTED_SCHEMA,
+        extract_route_batch,
+    )
+
+    payload = PDF_MAGIC + json.dumps(
+        {"pages": [{"w": 600, "h": 800, "blocks": [
+            {"label": "Text", "conf": 0.9, "bbox": [10, 10, 500, 100],
+             "text": "pdf body text"}]}]}
+    ).encode()
+    html = (b"<html><body><main><p>html body</p></main></body></html>")
+    batch = pa.table(
+        {
+            "url": ["u-pdf", "u-html"],
+            "html": [payload, html],
+            "text": [None, None],
+            "lang": ["en", "en"],
+        }
+    )
+    routed = pa.concat_tables(list(extract_route_batch(batch)))
+    assert routed.schema.equals(ROUTED_SCHEMA)
+
+    echo_out = PdfExtractStage()(routed).to_pylist()
+    digest_out = PdfExtractStage(ocr_backend="digest")(routed).to_pylist()
+    echo = {r["url"]: r for r in echo_out}
+    digest = {r["url"]: r for r in digest_out}
+    assert "pdf body text" in echo["u-pdf"]["extracted_text"]
+    assert "[ocr:" in digest["u-pdf"]["extracted_text"]
+    assert echo["u-html"]["extracted_text"] == digest["u-html"]["extracted_text"]
+    # deterministic across fresh actors
+    assert PdfExtractStage(ocr_backend="digest")(routed).to_pylist() == digest_out
