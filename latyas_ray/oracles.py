@@ -563,7 +563,7 @@ def _oracle_latex_normalize(sf_dir: str) -> pa.Table:
         t = pq.read_table(path, columns=["url", "html"])
         for url, html in zip(t.column("url").to_pylist(),
                              t.column("html").to_pylist()):
-            if html is None or html.startswith(b"%PDF"):
+            if html is None or html.startswith(b"%PDF") or b"$$" not in html:
                 continue
             text = html.decode("utf-8", errors="replace")
             for i, m in enumerate(eq_re.findall(text)):

@@ -340,6 +340,8 @@ def latex_normalize_dataset(corpus_dir: str) -> "rd.Dataset":
         ):
             if html is None or html.startswith(b"%PDF"):
                 continue
+            if b"$$" not in html:  # cheap bytes guard: skips the decode +
+                continue  # regex scan on the (giant) equation-free majority
             text = html.decode("utf-8", errors="replace")
             for i, m in enumerate(eq_re.findall(text)):
                 urls.append(url)
