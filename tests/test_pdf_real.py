@@ -110,3 +110,21 @@ def test_fuzz_roundtrip_random_layouts():
         assert [p["runs"] for p in pages] == [
             [(x, y, s, t) for x, y, s, t in p["runs"]] for p in pages_in
         ]
+
+
+def test_corrupt_pdf_bytes_dead_letter_not_crash():
+    """Garbage %PDF payloads must flow through the dead-letter path (or
+    yield an empty doc), never crash a batch task."""
+    cases = [
+        b"%PDF-1.4 garbage with no objects at all",
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\ntrailer",
+        b"%PDF-1.4\n" + b"\xff\xfe" * 100,
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Pages /Kids [9 0 R] >>\nendobj\n",
+    ]
+    for payload in cases:
+        res = extract_one("u", payload, None, "en")
+        assert res["payload_kind"] == "pdf"
+        # either clean-empty or recorded error — both are valid outcomes;
+        # what is NOT valid is an exception escaping extract_one
+        assert isinstance(res["extracted_text"], str)
+        assert res["checksum"]
