@@ -75,19 +75,26 @@ def _q_extract_regions(sf_dir: str):
     )
 
 
-def _oracled(name: str, fn: Callable[[str], Any],
-             extra: tuple = ()) -> Callable[[str], Any]:
+def _is_golden_dir(sf_dir: str) -> bool:
+    """True only for a directory actually NAMED after the correctness
+    scale factor — ``sf_label_from_dir``'s fallback maps *any* unknown
+    dir to sf0.01, and building the cached oracle snapshot from a foreign
+    directory's parquet would poison later verification runs."""
+    import os
+
+    return os.path.basename(os.path.normpath(sf_dir)) == _GOLDEN_SF
+
+
+def _oracled(name: str, fn: Callable[[str], Any]) -> Callable[[str], Any]:
     """Wrap an op query so its serial-oracle snapshot is (re)built before
     the distributed run whenever the driver's correctness scale factor is
     in play — the same golden-snapshot mechanism ``extract_pipeline``
-    uses.  ``extra`` lists additional oracle names the SQL side needs
-    (e.g. simhash_neardup's SQL reads the fingerprint snapshot)."""
+    uses.  (simhash_neardup passes ``name="simhash_fingerprints"``: its
+    SQL is a self-join over the fingerprint snapshot.)"""
 
     def q(sf_dir: str):
-        sf = sf_label_from_dir(sf_dir)
-        if sf == _GOLDEN_SF:
-            for dep in (name, *extra):
-                ensure_oracle(sf_dir, sf, dep)
+        if _is_golden_dir(sf_dir):
+            ensure_oracle(sf_dir, _GOLDEN_SF, name)
         return fn(sf_dir)
 
     return q
@@ -99,7 +106,7 @@ def _q_latex_normalize(sf_dir: str):
     sf = sf_label_from_dir(sf_dir)
     corpus = ensure_corpus_for_sf(sf)
     if sf == _GOLDEN_SF:
-        ensure_oracle(sf_dir, sf, "latex_normalize")
+        ensure_oracle(sf_dir, _GOLDEN_SF, "latex_normalize")
     return latex_normalize_dataset(corpus)
 
 
@@ -214,8 +221,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_counts": (
             "SELECT doc_id, "
-            "CASE WHEN trim(text) = '' THEN 0 ELSE "
-            "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "
             "AS n_tokens, "
             "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) "
             "AS BIGINT) AS n_tokens_bpe "
@@ -241,9 +247,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ngram_jaccard": (
             "WITH pairs AS (SELECT 2*i AS a, 2*i+1 AS b FROM range(0, 50) t(i)), "
-            "w AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN "
-            "CAST([] AS VARCHAR[]) ELSE "
-            "regexp_split_to_array(trim(text), '\\s+') END AS words "
+            "w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS words "
             "FROM documents WHERE doc_id < 100), "
             "sh AS (SELECT doc_id, list_distinct(CASE "
             "WHEN len(words) = 0 THEN CAST([] AS VARCHAR[]) "
@@ -332,8 +336,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "quality_filter": (
             "WITH base AS (SELECT doc_id, "
-            "CASE WHEN trim(text) = '' THEN 0 ELSE "
-            "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "
             "AS n_words, "
             "CAST(length(text) - len(regexp_extract_all(text, '\\s')) AS BIGINT) "
             "AS char_sum, "
@@ -351,8 +354,8 @@ def oracle_sql() -> dict[str, str]:
             "AND alpha_ratio_c100 >= 50) AS passes FROM g"
         ),
         "word_counts": (
-            "WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), "
-            "'\\s+')) AS word FROM documents WHERE trim(text) <> ''), "
+            "WITH w AS (SELECT unnest(regexp_extract_all(text, '\\S+')) "
+            "AS word FROM documents), "
             "c AS (SELECT word, count(*) AS n FROM w GROUP BY word) "
             "SELECT word, CAST(n AS BIGINT) AS n FROM c "
             "ORDER BY n DESC, word LIMIT 100"

@@ -305,12 +305,18 @@ def _column_side(node: Node) -> Optional[str]:
     return None
 
 
+# Browser-grade span caps (colspan 1000 / rowspan 65534 per the HTML spec);
+# without them a single corrupt attribute (colspan="2147483647") inflates
+# the occupancy grid by the span factor and OOMs the worker.
+_SPAN_CAPS = {"colspan": 1000, "rowspan": 65534}
+
+
 def _int_attr(node: Node, name: str, default: int = 1) -> int:
     try:
         v = int(node.attrs.get(name, default))
     except (TypeError, ValueError):
         return default
-    return max(1, v)
+    return min(max(1, v), _SPAN_CAPS.get(name, 1 << 20))
 
 
 def _table_blocks(node: Node, path: str, col: Optional[str], out: List[_Seg]) -> None:

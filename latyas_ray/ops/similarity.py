@@ -214,10 +214,19 @@ def _centroids(mat: np.ndarray, n_buckets: int) -> np.ndarray:
     return cent
 
 
+_FIT_CACHE: dict = {}
+
+
 def _fit_ivf(sf_dir: str, n_buckets: int) -> np.ndarray:
-    """Sampled centroid fit → normalized centroid matrix."""
-    _, mat = _sampled_matrix(sf_dir)
-    return _normalize(_centroids(mat, n_buckets))
+    """Sampled centroid fit → normalized centroid matrix.  The fit is a
+    pure deterministic function of (table, n_buckets), so it's memoized
+    per process — ann_topk_ivf / embedding_neardup_ivf / ivf_assign in
+    one session share one fit instead of re-scanning the table each."""
+    key = (sf_dir, n_buckets)
+    if key not in _FIT_CACHE:
+        _, mat = _sampled_matrix(sf_dir)
+        _FIT_CACHE[key] = _normalize(_centroids(mat, n_buckets))
+    return _FIT_CACHE[key]
 
 
 def ivf_assign(sf_dir: str, n_buckets: int = 8) -> rd.Dataset:

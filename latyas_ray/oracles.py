@@ -115,10 +115,18 @@ def oracle_path(sf_label: str, name: str) -> str:
 
 def ensure_oracle(sf_dir: str, sf_label: str, name: str) -> str:
     """Build (or reuse) the serial-oracle snapshot for one op at one scale
-    factor.  Cached by (version, name, sf); atomic writes."""
+    factor.  Cached by (oracle version, corpus version, extractor
+    version, name, sf) — corpus/extractor versions matter for builders
+    that read the generated corpus (latex_normalize); including them for
+    every oracle costs only a cheap rebuild on version bumps and removes
+    the stale-snapshot hazard entirely.  Atomic writes."""
+    from . import EXTRACTOR_VERSION
+    from .corpus import CORPUS_VERSION
+
     path = oracle_path(sf_label, name)
     marker = path + ".meta"
-    params = {"version": ORACLE_VERSION, "name": name, "sf": sf_label}
+    params = {"version": ORACLE_VERSION, "corpus": CORPUS_VERSION,
+              "extractor": EXTRACTOR_VERSION, "name": name, "sf": sf_label}
     if os.path.exists(marker) and os.path.exists(path):
         try:
             with open(marker) as f:

@@ -82,7 +82,13 @@ def extract_dataset(
         # a second pass over the input (no CSE in Ray Data) — worth it only
         # when the PDF stage holds real accelerator-bound weights.
         def _pdf_mask(t):
-            return pc.starts_with(t["html"].cast("string"), PDF_MAGIC.decode())
+            # binary-level prefix test: covers BOTH PDF channels (%PDF-SYN
+            # and real %PDF-1.x) and never string-casts — a cast would
+            # raise ArrowInvalid on non-UTF-8 PDF bytes and crash the
+            # batch instead of dead-lettering the row.  Null payloads are
+            # explicitly False so they take the HTML branch (which treats
+            # None as b"") instead of vanishing from both.
+            return pc.fill_null(pc.starts_with(t["html"], pattern=b"%PDF"), False)
 
         html_ds = ds.map_batches(
             lambda t: t.filter(pc.invert(_pdf_mask(t))), batch_format="pyarrow"

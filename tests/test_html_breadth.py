@@ -86,3 +86,20 @@ def test_pre_and_dl_autoclose_open_p():
     out = _text(html)
     assert "para before" in out and "x = 1" in out
     assert "para two" in out and "- t" in out
+
+
+def test_span_bomb_is_capped():
+    """A corrupt colspan/rowspan must not inflate the grid by the raw
+    attribute value (browser-grade caps; pre-cap this OOMed the worker)."""
+    import time
+
+    html = (
+        "<html><body><main><table>"
+        '<tr><td colspan="2147483647" rowspan="2147483647">a</td></tr>'
+        "</table></main></body></html>"
+    )
+    t0 = time.time()
+    out = _text(html)
+    assert time.time() - t0 < 5.0
+    # one row, capped expansion, trailing empties trimmed away entirely
+    assert out.count("a") <= 1000

@@ -158,3 +158,40 @@ def test_export_labelme_sink(ray_session, corpus_dir, tmp_path):
     row = next(r for r in rows if j.loads(r["shapes"]))
     shape = j.loads(row["shapes"])[0]
     assert shape["shape_type"] == "rectangle" and len(shape["points"]) == 2
+
+
+def test_split_stages_routes_binary_pdfs_without_string_cast(ray_session):
+    """The split-stage routing mask must (a) send REAL %PDF-1.x rows to
+    the PDF branch, (b) survive non-UTF-8 payloads (a string cast would
+    raise ArrowInvalid and kill the batch), (c) keep null-html rows on
+    the HTML branch instead of dropping them."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from latyas_ray.pdf_real import write_pdf
+
+    real_pdf = write_pdf(
+        [{"w": 612.0, "h": 792.0, "runs": [(72.0, 100.0, 11.0, "body line")]}]
+    )
+    rows = pa.table(
+        {
+            "url": ["u-real", "u-corrupt", "u-html", "u-null"],
+            "warc_ts": pa.array([0, 0, 0, 0], pa.timestamp("us")),
+            "html": pa.array(
+                [real_pdf, b"%PDF-1.4\n" + b"\xff\xfe" * 50,
+                 b"<html><body><main><p>hi</p></main></body></html>", None],
+                pa.binary(),
+            ),
+            "text": pa.array([None, None, None, None], pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+        }
+    )
+    ds = extract_dataset(rd.from_arrow(rows), batch_size=4,
+                         use_actors=False, split_stages=True)
+    got = {r["url"]: r for r in ds.take_all()}
+    assert len(got) == 4  # null row not dropped
+    assert got["u-real"]["payload_kind"] == "pdf"
+    assert "body line" in got["u-real"]["extracted_text"]
+    assert got["u-corrupt"]["payload_kind"] == "pdf"  # dead-letter or empty
+    assert got["u-html"]["extracted_text"] == "hi"
+    assert got["u-null"]["payload_kind"] == "html"
