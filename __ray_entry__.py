@@ -6,14 +6,17 @@ corpus; ``queries()`` exposes every implemented operator/pipeline;
 by the driver BEFORE import — nothing here calls ``ray.init`` /
 ``ray.shutdown``.
 
-Extraction queries are verified against the *serial oracle's* golden
-snapshot (built once into /tmp and read by DuckDB via ``read_parquet``) —
-the driver's hash compare is then exactly the "distributed pipeline ≡
-serial oracle, byte-identical per url" invariant.  Ops over the testdata
-tables are verified against plain ANSI SQL on the pre-registered views.
-Entries without SQL (minhash clusters, simhash, lang-id, IVF-ANN,
-fingerprints, media features) are deterministic and covered by pytest;
-the driver records rows-only checks for them.
+Every query has an oracle.  Extraction queries are verified against the
+*serial oracle's* golden snapshot (built once into /tmp and read by
+DuckDB via ``read_parquet``) — the driver's hash compare is then exactly
+the "distributed pipeline ≡ serial oracle, byte-identical per url"
+invariant.  Ops over the testdata tables are verified against plain ANSI
+SQL on the pre-registered views where SQL can express the op; the rest
+(minhash clusters, simhash, lang-id, IVF-ANN, k-means, fingerprints,
+media stages, latex normalization) are verified against serial-oracle
+parquet snapshots (``latyas_ray/oracles.py`` — independent pure-Python
+reimplementations) read by DuckDB, the same mechanism as the extraction
+golden.
 """
 
 from __future__ import annotations
