@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # banded-LSH path under test) — so it depends on that snapshot.
         "simhash_neardup": _oracled("simhash_fingerprints", _dedup.simhash_neardup),
         "ngram_jaccard": _dedup.ngram_jaccard,
+        "contamination_check": _dedup.contamination_check,
         # similarity search over embeddings
         "ann_topk": _similarity.ann_topk,
         "ann_topk_ivf": _oracled("ann_topk_ivf", _similarity.ann_topk_ivf),
@@ -263,6 +264,21 @@ def oracle_sql() -> dict[str, str]:
             "/ len(list_distinct(sa.s || sb.s)) END, 6) AS jaccard "
             "FROM pairs p JOIN sh sa ON sa.doc_id = p.a "
             "JOIN sh sb ON sb.doc_id = p.b"
+        ),
+        "contamination_check": (
+            "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') "
+            "AS words FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct(CASE "
+            "WHEN len(words) = 0 THEN CAST([] AS VARCHAR[]) "
+            "WHEN len(words) < 3 THEN [array_to_string(words, ' ')] "
+            "ELSE [array_to_string(words[i:i+2], ' ') "
+            "FOR i IN range(1, len(words) - 1)] END) AS s FROM w), "
+            "bench AS (SELECT list_distinct(flatten(list(s))) AS bs "
+            "FROM sh WHERE doc_id < 10) "
+            "SELECT sh.doc_id, "
+            "CAST(len(list_intersect(sh.s, b.bs)) AS BIGINT) AS n_shared, "
+            "len(list_intersect(sh.s, b.bs)) >= 10 AS contaminated "
+            "FROM sh CROSS JOIN bench b"
         ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id, embedding FROM embeddings "

@@ -155,6 +155,7 @@ def run_bench() -> dict:
         "customers_by_region": relational.customers_by_region,
         "parts_by_brand": relational.parts_by_brand,
         "ngram_jaccard": dedup.ngram_jaccard,
+        "contamination_check": dedup.contamination_check,
     }
     if skip_queries:
         op_fns = {}

@@ -635,3 +635,43 @@ def simhash_neardup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
         )
     out = cand.drop_duplicates().sort_values(["a", "b"]).reset_index(drop=True)
     return out.astype("int64")
+
+
+def contamination_check(
+    sf_dir: str, n_benchmark: int = 10, threshold: int = 10
+) -> rd.Dataset:
+    """Benchmark decontamination: per document, how many of its distinct
+    word-3-gram shingles also appear in the "benchmark" set (docs
+    0..n_benchmark-1) — the pretraining-pipeline op that flags training
+    docs overlapping an eval set.
+
+    Scale shape: the benchmark shingle set is tiny and broadcast once
+    (``ray.put`` of a sorted uint64 array); each batch computes its docs'
+    shingles and counts membership with one vectorized ``np.isin`` — a
+    map-only pass, no shuffle.  Output: (doc_id, n_shared,
+    contaminated).  SQL-oracle-verifiable because shingle-hash equality
+    ≡ shingle-string equality (same argument as ``ngram_jaccard``)."""
+    bench_ids = set(range(n_benchmark))
+    bench_sets = _shingle_sets_for(sf_dir, bench_ids)
+    bench = np.sort(np.fromiter(
+        set().union(*bench_sets.values()) if bench_sets else set(),
+        dtype=np.uint64,
+    ))
+    bench_ref = ray.put(bench)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count_shared(batch: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bench_ref)
+        segs = _word_hash_segments(batch["text"])
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        shared = np.empty(len(ids), dtype=np.int64)
+        for i in range(len(ids)):
+            sh = _shingles_from_word_hashes(segs[i])
+            shared[i] = int(np.isin(sh, b, assume_unique=True).sum())
+        return pd.DataFrame(
+            {"doc_id": ids, "n_shared": shared,
+             "contaminated": shared >= threshold}
+        )
+
+    return docs.map_batches(count_shared, batch_format="pandas", batch_size=4096)

@@ -75,6 +75,7 @@ OPS_QUERIES = [
     # round-2 additions (plain SQL oracles)
     "quality_filter", "chars_percentiles_by_lang", "word_counts",
     "knn_label_vote", "events_top_users_by_value", "events_props_rollup",
+    "contamination_check",
     # corpus-facing M8 pipeline vs its serial snapshot
     "latex_normalize",
     # serial-oracle snapshot queries (latyas_ray/oracles.py)
