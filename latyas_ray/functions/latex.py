@@ -16,9 +16,13 @@ re-expressed as a table-driven rewrite pipeline:
 - bare ``$…$`` wrappers (not preceded by a macro) are removed,
 - whitespace collapses to single spaces.
 
-The brace matcher honors backslash escapes and re-applies a rule until its
-pattern no longer matches (the reference's recursive ``change``/reversed
-``change_all`` behavior); unbalanced input degrades gracefully.
+The brace matcher honors backslash escapes; occurrences are processed in
+the reference's observable order — collected once, rewritten rightmost
+suffix first (``change_all``), with a same-suffix re-sweep only when the
+macro name changes (``change``'s tail recursion).  Unbalanced input
+degrades gracefully.  Equivalence is enforced by a 2,000-case fuzz
+against a straight port of the reference chain
+(``tests/test_latex_differential.py``).
 """
 
 from __future__ import annotations
@@ -50,22 +54,23 @@ def _match_close(s: str, start: int, open_ch: str, close_ch: str) -> int:
     return -1
 
 
-def _rewrite_macro(
+def _rewrite_pass(
     s: str,
     macro: str,
     repl: str,
     delims: Tuple[str, str],
     new_delims: Tuple[str, str],
 ) -> str:
-    """Rewrite every ``macro<open>…<close>`` into
-    ``repl<new_open>…<new_close>``, repeating until no occurrence remains
-    (inner occurrences surface after outer rewrites)."""
+    """One rewrite sweep: every ``macro<open>…<close>`` occurrence in one
+    left-to-right scan → ``repl<new_open>…<new_close>`` (inner content
+    copied verbatim); when the macro NAME changes, the sweep repeats on
+    its own output until the pattern is gone (the reference ``change``'s
+    tail recursion, ``to_katex.py:57-59`` — name-preserving rules do NOT
+    re-sweep there, and neither do we)."""
     open_ch, close_ch = delims
     new_open, new_close = new_delims
     needle = macro + open_ch
-    # a rule whose output still matches its own pattern would never
-    # terminate — only re-apply when the rewrite changes the pattern
-    reapply = not (repl == macro and new_delims == delims)
+    reapply = repl != macro
     guard = 0
     while needle in s and guard < 64:
         guard += 1
@@ -88,6 +93,29 @@ def _rewrite_macro(
         s = "".join(out)
         if not reapply:
             break
+    return s
+
+
+def _rewrite_macro(
+    s: str,
+    macro: str,
+    repl: str,
+    delims: Tuple[str, str],
+    new_delims: Tuple[str, str],
+) -> str:
+    """Rewrite with the reference's OCCURRENCE ORDER: positions of the
+    pattern are collected on the input once and processed RIGHT-TO-LEFT,
+    each rewriting the whole suffix from that position
+    (``change_all``, ``to_katex.py:80-87``).  The order is observable —
+    for ``$``-delimited rules an inner occurrence must collapse to braces
+    before the outer one scans for its closing ``$``, and
+    name-preserving rules must leave ``\\Bigr{}``'s empty braces behind
+    rather than re-sweeping them away — so a plain fixpoint loop is NOT
+    equivalent (caught by tests/test_latex_differential.py)."""
+    needle = macro + delims[0]
+    positions = [m.start() for m in re.finditer(re.escape(needle), s)]
+    for p in reversed(positions):
+        s = s[:p] + _rewrite_pass(s[p:], macro, repl, delims, new_delims)
     return s
 
 
