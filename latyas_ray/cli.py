@@ -8,6 +8,8 @@ Subcommands::
                                         [--partitions N] [--batch-size B]
                                         [--no-actors] [--metrics]
     python -m latyas_ray.cli metrics    --out DIR
+    python -m latyas_ray.cli ops        --list | --query NAME
+                                        [--sf-dir DIR] [--limit N]
 
 The CLI owns its Ray session (guarded init / shutdown); library code
 never initializes Ray.
@@ -21,9 +23,13 @@ import sys
 
 
 def _ray_session(num_cpus: int | None):
+    """Returns (ray, owns_session): shutdown only a session WE created —
+    when embedded in a host that already initialized Ray (tests, driver),
+    tearing its session down would be hostile."""
     import ray
 
-    if not ray.is_initialized():
+    owns = not ray.is_initialized()
+    if owns:
         kwargs = dict(
             address="local", include_dashboard=False,
             ignore_reinit_error=True, logging_level="ERROR",
@@ -31,12 +37,17 @@ def _ray_session(num_cpus: int | None):
         if num_cpus:
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
+    import logging
+
     from ray.data import DataContext
 
     # all-map plan: per-operator CPU reservation only caps the dominant
     # stage's width (see bench.py); backpressure alone regulates it
-    DataContext.get_current().op_resource_reservation_enabled = False
-    return ray
+    ctx = DataContext.get_current()
+    ctx.op_resource_reservation_enabled = False
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    return ray, owns
 
 
 def main(argv=None) -> int:
@@ -61,8 +72,15 @@ def main(argv=None) -> int:
     m = sub.add_parser("metrics", help="(re)compute the per-lang rollup")
     m.add_argument("--out", required=True)
 
+    o = sub.add_parser("ops", help="run one driver query over an sf dir")
+    o.add_argument("--list", action="store_true", help="list query names")
+    o.add_argument("--query", default=None)
+    o.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    o.add_argument("--limit", type=int, default=20,
+                   help="rows of output to print (full row count always shown)")
+
     args = p.parse_args(argv)
-    ray = _ray_session(args.num_cpus)
+    ray, owns_session = _ray_session(args.num_cpus)
     try:
         if args.cmd == "gen-corpus":
             from .corpus import generate_corpus
@@ -86,9 +104,41 @@ def main(argv=None) -> int:
 
             df = rollup_metrics(args.out)
             print(df.to_json(orient="records"))
+        elif args.cmd == "ops":
+            registry = _query_registry()
+            if args.list or not args.query:
+                print(json.dumps(sorted(registry)))
+            else:
+                import ray.data as rd
+
+                res = registry[args.query](args.sf_dir)
+                df = res.to_pandas() if isinstance(res, rd.Dataset) else res
+                if hasattr(df, "to_pandas"):  # pyarrow.Table
+                    df = df.to_pandas()
+                print(json.dumps({
+                    "query": args.query,
+                    "rows": int(len(df)),
+                    "head": json.loads(
+                        df.head(args.limit).to_json(orient="records")
+                    ),
+                }))
     finally:
-        ray.shutdown()
+        if owns_session:
+            ray.shutdown()
     return 0
+
+
+def _query_registry():
+    """The driver contract's ``queries()`` registry (repo-root module);
+    imported lazily so library use never needs it on the path."""
+    try:
+        import __ray_entry__
+    except ImportError as e:
+        raise SystemExit(
+            "the 'ops' subcommand needs the repo root on PYTHONPATH "
+            f"(__ray_entry__ not importable: {e})"
+        )
+    return __ray_entry__.queries()
 
 
 if __name__ == "__main__":
