@@ -205,6 +205,23 @@ def _q_video_frames(sf_dir: str):
 _GOLDEN_SF = "sf0.01"  # the driver's correctness scale factor
 
 
+def _shingle_cte(where: str = "") -> str:
+    """The word-3-gram shingle CTE shared by the ngram_jaccard and
+    contamination_check oracles — ONE definition, so it can't drift from
+    the Python shingle kernel in only one of them.  Emits CTEs ``w``
+    (whitespace words) and ``sh`` (distinct shingle strings; <3 words →
+    one whole-text shingle), each terminated with a trailing comma."""
+    return (
+        f"w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS words "
+        f"FROM documents {where}), "
+        "sh AS (SELECT doc_id, list_distinct(CASE "
+        "WHEN len(words) = 0 THEN CAST([] AS VARCHAR[]) "
+        "WHEN len(words) < 3 THEN [array_to_string(words, ' ')] "
+        "ELSE [array_to_string(words[i:i+2], ' ') "
+        "FOR i IN range(1, len(words) - 1)] END) AS s FROM w), "
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     golden, golden_regions = golden_paths(_GOLDEN_SF)
     return {
@@ -251,13 +268,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ngram_jaccard": (
             "WITH pairs AS (SELECT 2*i AS a, 2*i+1 AS b FROM range(0, 50) t(i)), "
-            "w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS words "
-            "FROM documents WHERE doc_id < 100), "
-            "sh AS (SELECT doc_id, list_distinct(CASE "
-            "WHEN len(words) = 0 THEN CAST([] AS VARCHAR[]) "
-            "WHEN len(words) < 3 THEN [array_to_string(words, ' ')] "
-            "ELSE [array_to_string(words[i:i+2], ' ') "
-            "FOR i IN range(1, len(words) - 1)] END) AS s FROM w) "
+            + _shingle_cte("WHERE doc_id < 100") +
             "SELECT CAST(p.a AS BIGINT) AS a, CAST(p.b AS BIGINT) AS b, "
             "round(CASE WHEN len(sa.s) = 0 AND len(sb.s) = 0 THEN 1.0 "
             "ELSE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) "
@@ -266,13 +277,7 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sh sb ON sb.doc_id = p.b"
         ),
         "contamination_check": (
-            "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') "
-            "AS words FROM documents), "
-            "sh AS (SELECT doc_id, list_distinct(CASE "
-            "WHEN len(words) = 0 THEN CAST([] AS VARCHAR[]) "
-            "WHEN len(words) < 3 THEN [array_to_string(words, ' ')] "
-            "ELSE [array_to_string(words[i:i+2], ' ') "
-            "FOR i IN range(1, len(words) - 1)] END) AS s FROM w), "
+            "WITH " + _shingle_cte() +
             "bench AS (SELECT list_distinct(flatten(list(s))) AS bs "
             "FROM sh WHERE doc_id < 10) "
             "SELECT sh.doc_id, "

@@ -37,16 +37,21 @@ def _ray_session(num_cpus: int | None):
         if num_cpus:
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
-    import logging
+    if owns:
+        # only tune a session WE created: flipping the global DataContext
+        # or logger levels under a host that configured its own would be
+        # as hostile as shutting its session down
+        import logging
 
-    from ray.data import DataContext
+        from ray.data import DataContext
 
-    # all-map plan: per-operator CPU reservation only caps the dominant
-    # stage's width (see bench.py); backpressure alone regulates it
-    ctx = DataContext.get_current()
-    ctx.op_resource_reservation_enabled = False
-    ctx.enable_progress_bars = False
-    logging.getLogger("ray.data").setLevel(logging.ERROR)
+        # all-map plan: per-operator CPU reservation only caps the
+        # dominant stage's width (see bench.py); backpressure alone
+        # regulates it
+        ctx = DataContext.get_current()
+        ctx.op_resource_reservation_enabled = False
+        ctx.enable_progress_bars = False
+        logging.getLogger("ray.data").setLevel(logging.ERROR)
     return ray, owns
 
 
@@ -80,6 +85,16 @@ def main(argv=None) -> int:
                    help="rows of output to print (full row count always shown)")
 
     args = p.parse_args(argv)
+
+    if args.cmd == "ops" and (args.list or not args.query):
+        # listing touches no data — don't boot a cluster for it
+        print(json.dumps(sorted(_query_registry())))
+        return 0
+    if args.cmd == "ops" and args.query not in _query_registry():
+        print(f"unknown query {args.query!r}; valid names:", file=sys.stderr)
+        print(json.dumps(sorted(_query_registry())), file=sys.stderr)
+        return 2
+
     ray, owns_session = _ray_session(args.num_cpus)
     try:
         if args.cmd == "gen-corpus":
@@ -105,23 +120,23 @@ def main(argv=None) -> int:
             df = rollup_metrics(args.out)
             print(df.to_json(orient="records"))
         elif args.cmd == "ops":
-            registry = _query_registry()
-            if args.list or not args.query:
-                print(json.dumps(sorted(registry)))
-            else:
-                import ray.data as rd
+            import ray.data as rd
 
-                res = registry[args.query](args.sf_dir)
-                df = res.to_pandas() if isinstance(res, rd.Dataset) else res
-                if hasattr(df, "to_pandas"):  # pyarrow.Table
-                    df = df.to_pandas()
-                print(json.dumps({
-                    "query": args.query,
-                    "rows": int(len(df)),
-                    "head": json.loads(
-                        df.head(args.limit).to_json(orient="records")
-                    ),
-                }))
+            res = _query_registry()[args.query](args.sf_dir)
+            if isinstance(res, rd.Dataset):
+                # never materialize the full Dataset on the driver for a
+                # head sample — count streams, limit() bounds the pull
+                n = res.count()
+                df = res.limit(args.limit).to_pandas()
+            else:
+                df = res.to_pandas() if hasattr(res, "to_pandas") else res
+                n = len(df)
+                df = df.head(args.limit)
+            print(json.dumps({
+                "query": args.query,
+                "rows": int(n),
+                "head": json.loads(df.to_json(orient="records")),
+            }))
     finally:
         if owns_session:
             ray.shutdown()

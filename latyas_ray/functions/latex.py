@@ -72,7 +72,10 @@ def _rewrite_pass(
     needle = macro + open_ch
     reapply = repl != macro
     guard = 0
-    while needle in s and guard < 64:
+    # high cap: the reference's tail recursion handles ~1000 nesting
+    # levels before Python's recursion limit; match that envelope while
+    # still bounding pathological self-feeding inputs
+    while needle in s and guard < 1000:
         guard += 1
         out = []
         i = 0
@@ -119,11 +122,6 @@ def _rewrite_macro(
     return s
 
 
-# box macro → trailing delimiter of the unwrapped content (mbox keeps the
-# content tight; the rest add a separating space, per the reference rules)
-_BOX_MACROS = [(r"\mbox ", ""), (r"\mbox", ""), (r"\hbox", " "),
-               (r"\makebox", " "), (r"\scalebox", " "), (r"\raisebox", " "),
-               (r"\vbox", " ")]
 _SIZE_MACROS = [r"\Huge", r"\huge", r"\LARGE", r"\Large", r"\large",
                 r"\normalsize", r"\small", r"\footnotesize", r"\tiny"]
 _DELIM_MACROS = [r"\left", r"\middle", r"\right",
@@ -144,19 +142,29 @@ def strip_dollar_wrapped(s: str) -> str:
 
 def to_katex(formula: str) -> str:
     s = formula
-    # box-macro dimension arguments → plain braces first
+    # Box rules interleave with their dimension-argument regexes in the
+    # REFERENCE ORDER (to_katex.py:92-106): \mbox before the \raise
+    # substitution — a space minted by \raise must not feed the
+    # "\mbox " rule (divergence caught by the adversarial fuzz).
+    s = _rewrite_macro(s, r"\mbox ", " ", ("{", "}"), ("", ""))
+    s = _rewrite_macro(s, r"\mbox", " ", ("{", "}"), ("", ""))
     s = re.sub(r"\\hbox to ?-? ?\d+\.\d+(pt)?\{", r"\\hbox{", s)
+    s = _rewrite_macro(s, r"\hbox", " ", ("{", "}"), ("", " "))
     s = re.sub(r"\\raise ?-? ?\d+\.\d+(pt)?", r" ", s)
     s = re.sub(r"\\makebox ?\[\d+\.\d+(pt)?\]\{", r"\\makebox{", s)
+    s = _rewrite_macro(s, r"\makebox", " ", ("{", "}"), ("", " "))
     s = re.sub(r"\\raisebox\{-? ?\d+\.\d+(pt)?\}\{", r"\\raisebox{", s)
     s = re.sub(r"\\scalebox\{-? ?\d+\.\d+(pt)?\}\{", r"\\scalebox{", s)
-    for macro, tail in _BOX_MACROS:
-        s = _rewrite_macro(s, macro, " ", ("{", "}"), ("", tail))
+    s = _rewrite_macro(s, r"\scalebox", " ", ("{", "}"), ("", " "))
+    s = _rewrite_macro(s, r"\raisebox", " ", ("{", "}"), ("", " "))
+    s = _rewrite_macro(s, r"\vbox", " ", ("{", "}"), ("", " "))
     for macro in _SIZE_MACROS:
         s = _rewrite_macro(s, macro, macro, ("$", "$"), ("{", "}"))
-    for macro in (r"\boldmath ", r"\boldmath"):
-        s = _rewrite_macro(s, macro, r"\bm", ("{", "}"), ("{", "}"))
-        s = _rewrite_macro(s, macro, r"\bm", ("$", "$"), ("{", "}"))
+    # both brace forms, then both dollar forms (to_katex.py:123-126)
+    s = _rewrite_macro(s, r"\boldmath ", r"\bm", ("{", "}"), ("{", "}"))
+    s = _rewrite_macro(s, r"\boldmath", r"\bm", ("{", "}"), ("{", "}"))
+    s = _rewrite_macro(s, r"\boldmath ", r"\bm", ("$", "$"), ("{", "}"))
+    s = _rewrite_macro(s, r"\boldmath", r"\bm", ("$", "$"), ("{", "}"))
     s = _rewrite_macro(s, r"\scriptsize", r"\scriptsize", ("$", "$"), ("{", "}"))
     for macro in (r"\emph", r"\emph "):
         s = _rewrite_macro(s, macro, r"\textit", ("{", "}"), ("{", "}"))

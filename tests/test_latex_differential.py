@@ -139,10 +139,10 @@ _ATOMS = ["x", "y+z", r"\alpha", "a_{i}^{2}", r"\frac{a}{b}", "42", "(p)",
 
 
 def _gen_fragment(rng: random.Random, depth: int = 0) -> str:
-    inner = rng.choice(_ATOMS) if depth >= 2 else _gen_expr(rng, depth + 1)
-    kind = rng.randrange(16)
+    inner = rng.choice(_ATOMS) if depth >= 3 else _gen_expr(rng, depth + 1)
+    kind = rng.randrange(24)
     if kind == 0:
-        return r"\mbox{" + inner + "}"
+        return rng.choice([r"\mbox{", r"\mbox {"]) + inner + "}"
     if kind == 1:
         return r"\hbox to 3.5pt{" + inner + "}"
     if kind == 2:
@@ -152,11 +152,13 @@ def _gen_fragment(rng: random.Random, depth: int = 0) -> str:
     if kind == 4:
         return r"\raisebox{-2.0pt}{" + inner + "}"
     if kind == 5:
-        return rng.choice([r"\large", r"\small", r"\Huge"]) + "$" + inner + "$"
+        return rng.choice([r"\large", r"\small", r"\Huge", r"\scriptsize",
+                           r"\tiny"]) + "$" + inner + "$"
     if kind == 6:
-        return r"\boldmath{" + inner + "}"
+        return rng.choice([r"\boldmath{", r"\boldmath {", r"\boldmath$",
+                           r"\boldmath $"]) + inner + rng.choice("}$")
     if kind == 7:
-        return r"\emph{" + inner + "}"
+        return rng.choice([r"\emph{", r"\emph {"]) + inner + "}"
     if kind == 8:
         return rng.choice([r"\left", r"\big", r"\Bigr"]) + "{" + rng.choice("(){}[]|") + "}"
     if kind == 9:
@@ -171,18 +173,47 @@ def _gen_fragment(rng: random.Random, depth: int = 0) -> str:
         return r"\bf " + inner
     if kind == 14:
         return "$" + inner + "$"
+    if kind == 15:
+        return r"\vbox{" + inner + "}"
+    if kind == 16:
+        return r"\scalebox{1.5}{" + inner + "}"
+    if kind == 17:  # macro adjacency, no separating space
+        return rng.choice([r"\mbox", r"\hbox", r"\vbox"]) + _gen_fragment(
+            rng, depth + 1
+        )
+    if kind == 18:  # unbalanced / stray delimiters
+        return rng.choice(["{", "}", "$", r"\mbox{", r"\large$"]) + inner
+    if kind == 19:  # escaped braces inside content
+        return r"\mbox{" + inner.replace("{", r"\{", 1) + "}"
     return inner
 
 
 def _gen_expr(rng: random.Random, depth: int = 0) -> str:
-    return " ".join(_gen_fragment(rng, depth) for _ in range(rng.randint(1, 4)))
+    sep = rng.choice([" ", " ", ""])  # sometimes no separator: adjacency
+    return sep.join(_gen_fragment(rng, depth) for _ in range(rng.randint(1, 4)))
 
 
 def test_to_katex_matches_reference_port_fuzz():
     rng = random.Random(0x7E8)
-    for case in range(2000):
+    for case in range(6000):
         s = _gen_expr(rng)
         assert to_katex(s) == _ref_to_katex(s), f"case {case}: {s!r}"
+
+
+def test_to_katex_matches_on_adjacency_and_depth_edges():
+    """Directed edges the generator can under-sample: the \\raise-minted
+    space feeding \\mbox (the divergence the fuzz caught), and nesting
+    beyond the old re-sweep cap."""
+    cases = [
+        "\\mbox\\raise 1.5pt{x}",
+        "\\mbox \\raise 1.5pt{x}",
+        "\\hbox\\raise 2.0pt{y}",
+        "\\boldmath$a$\\boldmath{b}",
+        "\\emph" + "{\\emph" * 80 + "{x}" + "}" * 80,
+        "\\small$\\small$x$$",
+    ]
+    for s in cases:
+        assert to_katex(s) == _ref_to_katex(s), repr(s)
 
 
 def test_to_katex_matches_on_corpus_equations():
