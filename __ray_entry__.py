@@ -210,7 +210,8 @@ def _shingle_cte(where: str = "") -> str:
     contamination_check oracles — ONE definition, so it can't drift from
     the Python shingle kernel in only one of them.  Emits CTEs ``w``
     (whitespace words) and ``sh`` (distinct shingle strings; <3 words →
-    one whole-text shingle), each terminated with a trailing comma."""
+    one whole-text shingle).  No trailing comma — callers join CTE
+    fragments explicitly (a trailing comma shipped a parse error in r2)."""
     return (
         f"w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS words "
         f"FROM documents {where}), "
@@ -218,7 +219,7 @@ def _shingle_cte(where: str = "") -> str:
         "WHEN len(words) = 0 THEN CAST([] AS VARCHAR[]) "
         "WHEN len(words) < 3 THEN [array_to_string(words, ' ')] "
         "ELSE [array_to_string(words[i:i+2], ' ') "
-        "FOR i IN range(1, len(words) - 1)] END) AS s FROM w), "
+        "FOR i IN range(1, len(words) - 1)] END) AS s FROM w)"
     )
 
 
@@ -269,7 +270,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": (
             "WITH pairs AS (SELECT 2*i AS a, 2*i+1 AS b FROM range(0, 50) t(i)), "
             + _shingle_cte("WHERE doc_id < 100") +
-            "SELECT CAST(p.a AS BIGINT) AS a, CAST(p.b AS BIGINT) AS b, "
+            " SELECT CAST(p.a AS BIGINT) AS a, CAST(p.b AS BIGINT) AS b, "
             "round(CASE WHEN len(sa.s) = 0 AND len(sb.s) = 0 THEN 1.0 "
             "ELSE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) "
             "/ len(list_distinct(sa.s || sb.s)) END, 6) AS jaccard "
@@ -278,7 +279,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "contamination_check": (
             "WITH " + _shingle_cte() +
-            "bench AS (SELECT list_distinct(flatten(list(s))) AS bs "
+            ", bench AS (SELECT list_distinct(flatten(list(s))) AS bs "
             "FROM sh WHERE doc_id < 10) "
             "SELECT sh.doc_id, "
             "CAST(len(list_intersect(sh.s, b.bs)) AS BIGINT) AS n_shared, "

@@ -75,7 +75,7 @@ OPS_QUERIES = [
     # round-2 additions (plain SQL oracles)
     "quality_filter", "chars_percentiles_by_lang", "word_counts",
     "knn_label_vote", "events_top_users_by_value", "events_props_rollup",
-    "contamination_check",
+    "contamination_check", "ngram_jaccard",
     # corpus-facing M8 pipeline vs its serial snapshot
     "latex_normalize",
     # serial-oracle snapshot queries (latyas_ray/oracles.py)
@@ -119,6 +119,27 @@ def test_every_query_has_an_oracle(entry_mod):
     q = set(entry_mod.queries())
     o = set(entry_mod.oracle_sql())
     assert q == o, f"missing oracles: {sorted(q - o)}; stale: {sorted(o - q)}"
+
+
+def test_every_oracle_sql_parses(entry_mod, con):
+    """r2 shipped a parse error in an oracle string (trailing CTE comma in
+    ngram_jaccard) that only the driver caught.  EXPLAIN every oracle_sql()
+    entry so a string refactor can never ship a syntax error again.
+
+    Golden-snapshot paths are rewritten from sf0.01 to the sf0.001 golden
+    (built by the extraction parity test) so EXPLAIN can bind read_parquet
+    schemas without paying for the sf0.01 serial oracle."""
+    from latyas_ray.golden import ensure_golden, golden_paths
+
+    ensure_golden("sf0.001")
+    gp, rp = golden_paths("sf0.001")
+    gp01, rp01 = golden_paths("sf0.01")
+    for name, sql in entry_mod.oracle_sql().items():
+        sql = sql.replace(gp01, gp).replace(rp01, rp)
+        try:
+            con.execute("EXPLAIN " + sql)
+        except Exception as exc:  # pragma: no cover - failure message only
+            raise AssertionError(f"oracle_sql[{name}] does not parse: {exc}")
 
 
 def test_entry_smoke(entry_mod):
