@@ -25,5 +25,5 @@ Layout:
 
 __version__ = "0.1.0"
 
-EXTRACTOR_VERSION = "latyas-ray-extractor/2"  # /2: real-PDF channel, OCR
+EXTRACTOR_VERSION = "latyas-ray-extractor/3"  # /3: span-occupancy fill guard
 # rule routing, <pre>/<dl>/rowspan-colspan HTML coverage

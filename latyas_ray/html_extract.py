@@ -352,10 +352,14 @@ def _table_blocks(node: Node, path: str, col: Optional[str], out: List[_Seg]) ->
         return row[c] if c < len(row) else None
 
     def fill(r: int, c: int, val: str) -> None:
+        # earlier-placed spans win: a colspan sweep crossing a slot already
+        # claimed by a prior row's rowspan must not clobber it (the browser
+        # table model keeps the earlier cell's occupancy)
         row = grid_rows[r]
         while len(row) <= c:
             row.append(None)
-        row[c] = val
+        if row[c] is None:
+            row[c] = val
 
     for ri, tr in enumerate(tr_nodes):
         ci = 0

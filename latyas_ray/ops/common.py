@@ -3,11 +3,39 @@
 from __future__ import annotations
 
 import os
+import re
 from typing import Callable, Dict, List, Optional
 
 import pandas as pd
 
 import ray.data as rd
+
+# Tokenization whitespace is pinned to RE2's ASCII ``\s`` class
+# ``[\t\n\f\r ]`` — the class DuckDB's regexp_* functions use.  Python's
+# ``str.split()`` / ``re``'s ``\s`` are Unicode-aware (NBSP U+00A0,
+# ideographic space U+3000, VT U+000B), which silently diverges from the
+# SQL oracles on such characters (ADVICE r2).  ONE definition, used by
+# every tokenizing kernel AND the serial oracles.
+WS_RE = r"[\t\n\f\r ]"
+TOKEN_RE = r"[^\t\n\f\r ]+"
+_TOKEN_PAT = re.compile(TOKEN_RE)
+
+
+def ascii_words(text: str) -> List[str]:
+    """Whitespace tokens under the pinned ASCII definition (== DuckDB's
+    ``regexp_extract_all(text, '\\S+')``)."""
+    return _TOKEN_PAT.findall(text)
+
+
+def round_half_away(x) -> "np.ndarray":
+    """Round half AWAY from zero — DuckDB's ``round()`` semantics.
+    ``np.round`` rounds half to even (banker's), so a product landing
+    exactly on .5 (e.g. 0.125 * 100) diverges from the SQL oracles
+    (ADVICE r2).  ONE definition for every cents conversion."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
 
 
 def read_table(sf_dir: str, name: str, columns: Optional[List[str]] = None) -> rd.Dataset:

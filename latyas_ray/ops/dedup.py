@@ -40,7 +40,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from .common import read_table
+from .common import TOKEN_RE, read_table
 
 _MERSENNE = (1 << 61) - 1
 _U64 = np.uint64
@@ -140,7 +140,7 @@ def _word_hash_segments(texts: pd.Series) -> List[np.ndarray]:
     """Per-doc word-hash arrays, with blake2b computed once per distinct
     word in the batch (vocabulary-level, not occurrence-level)."""
     texts = texts.fillna("").reset_index(drop=True)
-    split = texts.str.split()
+    split = texts.str.findall(TOKEN_RE)  # pinned ASCII-ws tokenizer
     lens = split.str.len().fillna(0).astype(int).to_numpy()
     offsets = np.concatenate([[0], np.cumsum(lens)])
     exploded = split.explode().dropna()
@@ -293,10 +293,15 @@ def _edges_in_partition(g: pd.DataFrame) -> pd.DataFrame:
     multi = reps[sizes >= 2]
     for (band, bh), sub in multi.groupby(["band_id", "band_hash"]):
         if len(sub) > BUCKET_REP_CAP:
-            print(
-                f"[minhash] bucket cap: keeping {BUCKET_REP_CAP} of "
-                f"{len(sub)} reps (band {int(band)})"
-            )
+            # side-output the drop instead of print(): worker stdout never
+            # reaches the driver at scale, so cap activations (silently
+            # unpaired reps = recall loss) ride the edge stream as
+            # kind="capped" rows and are aggregated + logged driver-side.
+            frames.append(pd.DataFrame(
+                {"a": [np.int64(len(sub) - BUCKET_REP_CAP)],
+                 "ah": [np.int64(bh)], "b": [np.int64(band)],
+                 "bh": [np.int64(0)], "kind": "capped"}
+            ))
             sub = sub.head(BUCKET_REP_CAP)
         ids = sub["doc_id"].to_numpy(dtype=np.int64)
         chs = sub["chash"].to_numpy(dtype=np.int64)
@@ -423,6 +428,16 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
         dups = edges[edges["kind"] == "dup"].rename(
             columns={"ah": "chash", "a": "rep"}
         )[["chash", "rep"]]
+        capped = edges[edges["kind"] == "capped"]
+        if len(capped):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "[minhash] bucket rep cap hit in %d bucket(s): %d reps "
+                "dropped before pairing (recall loss; raise BUCKET_REP_CAP "
+                "or salt hot buckets if this grows)",
+                len(capped), int(capped["a"].sum()),
+            )
     else:
         cand, dups = _empty_edges(), pd.DataFrame({"chash": [], "rep": []})
 
@@ -480,7 +495,7 @@ def _simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
     doc with one ``np.add.at`` — no per-word Python loop in the hot path.
     Per-occurrence sign summation ≡ frequency weighting."""
     texts = batch["text"].fillna("").reset_index(drop=True)
-    split = texts.str.split()
+    split = texts.str.findall(TOKEN_RE)  # pinned ASCII-ws tokenizer
     lens = split.str.len().fillna(0).astype(int).to_numpy()
     exploded = split.explode().dropna()
     n = len(texts)

@@ -14,7 +14,7 @@ import ray
 
 import ray.data as rd
 
-from .common import merge_partials, read_table
+from .common import merge_partials, read_table, round_half_away
 
 
 def lineitem_pricing_summary(sf_dir: str) -> pd.DataFrame:
@@ -28,7 +28,7 @@ def lineitem_pricing_summary(sf_dir: str) -> pd.DataFrame:
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.assign(
             qty=batch["l_quantity"].astype("int64"),
-            cents=np.round(batch["l_extendedprice"] * 100).astype("int64"),
+            cents=round_half_away(batch["l_extendedprice"] * 100).astype("int64"),
             one=1,
         )
         return (
@@ -48,30 +48,70 @@ def lineitem_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
 
 def orders_by_nation(sf_dir: str) -> pd.DataFrame:
-    """Broadcast join: customer→nation lookup shipped once via ``ray.put``
-    and applied inside ``map_batches`` — no shuffle join (the small-side
-    broadcast pattern, SURVEY.md §2.4/J3).  Output: (n_name, n_orders)."""
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    """Orders ⋈ customer ⋈ nation rollup: (n_name, n_orders).
+
+    Only nation (25 rows) is a genuine broadcast side; customer is a big
+    table (1.5 M × SF rows), so the r2 driver-side custkey→nation dict was
+    a scale-killer.  Scale shape now: orders are partially counted per
+    custkey inside ``map_batches`` (the shuffle carries one row per
+    (custkey, batch), never raw orders), customer streams through as
+    (custkey, nationkey) rows, and BOTH sides shuffle by the same coarse
+    hash of custkey — every custkey's partial counts co-locate with its
+    one customer row, so each of the ``N_PARTS`` partitions does one
+    vectorized pandas merge and emits ≤25 (n_name, n_orders) rows.  The
+    nation dict rides along via ``ray.put`` (J3 broadcast pattern)."""
+    N_PARTS = 64
+
     nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    cust_to_nation = dict(
-        zip(
-            cust["c_custkey"].astype("int64"),
-            cust["c_nationkey"].map(
-                dict(zip(nation["n_nationkey"], nation["n_name"]))
-            ),
-        )
+    nat_name_ref = ray.put(
+        dict(zip(nation["n_nationkey"].astype("int64"), nation["n_name"]))
     )
-    lookup_ref = ray.put(cust_to_nation)
+
+    def _part_of(key: pd.Series) -> pd.Series:
+        uh = pd.util.hash_array(key.to_numpy(dtype=np.int64)).astype(np.uint64)
+        return pd.Series((uh % np.uint64(N_PARTS)).astype("int64"), index=key.index)
 
     orders = read_table(sf_dir, "orders", columns=["o_custkey"])
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(lookup_ref)
-        n = batch["o_custkey"].astype("int64").map(lookup)
-        return n.value_counts().rename_axis("n_name").rename("n_orders").reset_index()
+    def orders_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            batch["o_custkey"].astype("int64")
+            .value_counts().rename_axis("custkey").rename("n_orders").reset_index()
+        )
+        g["nationkey"] = np.int64(-1)  # marker: orders side
+        g["part"] = _part_of(g["custkey"])
+        return g[["custkey", "n_orders", "nationkey", "part"]]
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def cust_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "custkey": batch["c_custkey"].astype("int64"),
+                "n_orders": np.int64(0),
+                "nationkey": batch["c_nationkey"].astype("int64"),
+            }
+        )
+        g["part"] = _part_of(g["custkey"])
+        return g
+
+    both = orders.map_batches(
+        orders_partial, batch_format="pandas", batch_size=65536
+    ).union(cust.map_batches(cust_rows, batch_format="pandas", batch_size=65536))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        nat_name = ray.get(nat_name_ref)
+        counts = (
+            g[g["nationkey"] < 0]
+            .groupby("custkey", as_index=False)["n_orders"].sum()
+        )
+        members = g[g["nationkey"] >= 0][["custkey", "nationkey"]]
+        m = counts.merge(members, on="custkey")
+        m["n_name"] = m["nationkey"].map(nat_name)
+        return m.groupby("n_name", as_index=False)["n_orders"].sum()
 
     out = merge_partials(
-        orders.map_batches(partial, batch_format="pandas", batch_size=65536),
+        both.groupby("part").map_groups(per_part, batch_format="pandas"),
         keys=["n_name"],
         agg={"n_orders": "sum"},
     )
@@ -91,8 +131,8 @@ def top_suppliers_by_revenue(sf_dir: str, k: int = 10) -> pd.DataFrame:
     )
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        cents = np.round(batch["l_extendedprice"] * 100).astype("int64")
-        disc = np.round(batch["l_discount"] * 100).astype("int64")
+        cents = round_half_away(batch["l_extendedprice"] * 100).astype("int64")
+        disc = round_half_away(batch["l_discount"] * 100).astype("int64")
         df = pd.DataFrame(
             {
                 "l_suppkey": batch["l_suppkey"].astype("int64"),
@@ -164,7 +204,7 @@ def parts_by_brand(sf_dir: str) -> pd.DataFrame:
             {
                 "p_brand": batch["p_brand"],
                 "one": 1,
-                "cents": np.round(batch["p_retailprice"] * 100).astype("int64"),
+                "cents": round_half_away(batch["p_retailprice"] * 100).astype("int64"),
             }
         )
         return df.groupby("p_brand", as_index=False).sum()

@@ -69,11 +69,27 @@ def _sampled_matrix(sf_dir: str, max_sample: int = SAMPLE_MAX) -> Tuple[np.ndarr
     return ids, mat
 
 
+# Hard bound on the exact-baseline driver materialization: beyond this,
+# refuse loudly instead of OOMing silently — the IVF path is the scale path.
+_EMBEDDING_MATRIX_MAX_ROWS = 2_000_000
+
+
 def _embedding_matrix(sf_dir: str) -> tuple:
     """Full table → driver matrix, canonical vec_id order.  Used ONLY by
     the exact near-dup baseline where one dense side is required; the IVF
-    variants use :func:`_sampled_matrix`."""
-    t = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).to_pandas()
+    variants use :func:`_sampled_matrix`.  Size-gated: at corpus scale
+    this deliberately raises rather than materializing TBs on the driver
+    (use :func:`embedding_neardup_ivf` there)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n = ds.count()
+    if n > _EMBEDDING_MATRIX_MAX_ROWS:
+        raise ValueError(
+            f"embeddings table has {n} rows > "
+            f"{_EMBEDDING_MATRIX_MAX_ROWS}: the exact near-dup baseline "
+            "materializes the full table on the driver and is only for "
+            "small corpora — use embedding_neardup_ivf for the scale path."
+        )
+    t = ds.to_pandas()
     t = t.sort_values("vec_id").reset_index(drop=True)
     ids = t["vec_id"].to_numpy(dtype=np.int64)
     mat = np.stack(t["embedding"].to_numpy()).astype(np.float64)

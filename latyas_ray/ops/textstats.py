@@ -18,11 +18,13 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from .common import merge_partials, read_table
+from .common import TOKEN_RE, WS_RE, merge_partials, read_table
 
 # BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
-# Expressible identically in DuckDB: regexp_extract_all(text, ...).
-BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# Expressible identically in DuckDB: regexp_extract_all(text, ...) — the
+# whitespace class is spelled out (RE2-ASCII) so the Python and RE2 reads
+# of the pattern agree on Unicode whitespace (see common.WS_RE).
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\t\n\f\r ]"
 
 
 def doc_stats_by_lang(sf_dir: str) -> pd.DataFrame:
@@ -60,7 +62,7 @@ def token_counts(sf_dir: str) -> rd.Dataset:
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],
-                "n_tokens": text.str.split().str.len().astype("int64"),
+                "n_tokens": text.str.count(TOKEN_RE).astype("int64"),
                 "n_tokens_bpe": text.map(lambda s: len(pat.findall(s))).astype("int64"),
             }
         )
@@ -78,7 +80,7 @@ def quality_stats(sf_dir: str) -> rd.Dataset:
         n_chars = text.str.len().astype("int64")
         n_alpha = text.str.count(r"[A-Za-z]").astype("int64")
         n_digit = text.str.count(r"[0-9]").astype("int64")
-        n_space = text.str.count(r"\s").astype("int64")
+        n_space = text.str.count(WS_RE).astype("int64")
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],
@@ -136,9 +138,9 @@ def quality_filter(sf_dir: str) -> rd.Dataset:
 
     def gate(batch: pd.DataFrame) -> pd.DataFrame:
         text = batch["text"].fillna("")
-        n_words = text.str.split().str.len().fillna(0).astype("int64")
+        n_words = text.str.count(TOKEN_RE).fillna(0).astype("int64")
         char_sum = (
-            text.str.len() - text.str.count(r"\s")
+            text.str.len() - text.str.count(WS_RE)
         ).astype("int64")  # total non-whitespace chars == sum of word lens
         n_chars = text.str.len().astype("int64")
         n_alpha = text.str.count(r"[A-Za-z]").astype("int64")
@@ -308,7 +310,7 @@ def word_counts(sf_dir: str, k: int = 100) -> pd.DataFrame:
     ds = read_table(sf_dir, "documents", columns=["text"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        words = batch["text"].fillna("").str.split().explode().dropna()
+        words = batch["text"].fillna("").str.findall(TOKEN_RE).explode().dropna()
         if not len(words):
             return pd.DataFrame(
                 {"word": pd.Series(dtype="object"),

@@ -27,6 +27,8 @@ import struct
 from typing import Dict, List, Set
 
 import numpy as np
+
+from .ops.common import ascii_words
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -58,7 +60,7 @@ def _mix_step_py(acc: int, wh: int) -> int:
 
 
 def _shingles_py(text: str, k: int = 3) -> Set[int]:
-    words = text.split()
+    words = ascii_words(text)
     if not words:
         return set()
     whs = [_bhash(w.encode("utf-8")) for w in words]
@@ -223,7 +225,7 @@ def _oracle_simhash(sf_dir: str) -> pa.Table:
     ids, texts = _read_docs(sf_dir)
     sigs = []
     for text in texts:
-        words = text.split()
+        words = ascii_words(text)
         if not words:
             sigs.append(0)
             continue
