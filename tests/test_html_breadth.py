@@ -103,3 +103,20 @@ def test_span_bomb_is_capped():
     assert time.time() - t0 < 5.0
     # one row, capped expansion, trailing empties trimmed away entirely
     assert out.count("a") <= 1000
+
+
+def test_overlapping_span_keeps_earlier_cell():
+    # Malformed table: row 0's cell rowspans into row 1, and row 1's
+    # colspan cell sweeps across the slot the rowspan already claimed.
+    # Browser/TATR occupancy: the earlier-placed (rowspan) cell wins —
+    # fill() must not clobber it (ADVICE r2).
+    html = (
+        "<html><body><main><table>"
+        '<tr><td>a</td><td rowspan="2">tall</td></tr>'
+        '<tr><td colspan="2">wide</td></tr>'
+        "</table></main></body></html>"
+    )
+    out = _text(html)
+    assert "a\ttall" in out
+    # colspan lands in col 0, its sweep over col 1 does not erase "tall"
+    assert "wide\ttall" in out

@@ -302,3 +302,16 @@ def test_ivf_fit_never_materializes_full_table(ray_session):
     # deterministic across calls (hash-selected, not random)
     ids2, _ = _sampled_matrix("/root/testdata/sf0.1")
     assert (ids == ids2).all()
+
+
+def test_embedding_matrix_is_size_gated(ray_session, monkeypatch):
+    # The exact near-dup baseline materializes the whole embedding table
+    # on the driver; beyond the gate it must refuse loudly and point at
+    # the IVF scale path rather than OOM (VERDICT r2 item 7).
+    import pytest
+
+    from latyas_ray.ops import similarity
+
+    monkeypatch.setattr(similarity, "_EMBEDDING_MATRIX_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="embedding_neardup_ivf"):
+        similarity._embedding_matrix("/root/testdata/sf0.01")
