@@ -169,11 +169,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_suppliers_by_revenue": _relational.top_suppliers_by_revenue,
         "customers_by_region": _relational.customers_by_region,
         "parts_by_brand": _relational.parts_by_brand,
+        # TATR table-structure assembly (objects → cell grid → CSV)
+        "tsr_assemble": _q_tsr_assemble,
+        "tsr_tables_csv": _q_tsr_tables_csv,
         # multimodal plumbing (stubbed decode, real Ray stages)
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "video_frame_features": _q_video_frames,
     }
+
+
+def _q_tsr_assemble(sf_dir: str):
+    from latyas_ray.pipelines.tsr_pipeline import tsr_assemble_cells
+
+    if _is_golden_dir(sf_dir):
+        ensure_oracle(sf_dir, _GOLDEN_SF, "tsr_assemble")
+    return tsr_assemble_cells(sf_dir)
+
+
+def _q_tsr_tables_csv(sf_dir: str):
+    from latyas_ray.pipelines.tsr_pipeline import tsr_serialize
+
+    if _is_golden_dir(sf_dir):
+        ensure_oracle(sf_dir, _GOLDEN_SF, "tsr_tables_csv")
+    return tsr_serialize(sf_dir, fmt="csv")
 
 
 def _q_media_features(sf_dir: str):
@@ -471,6 +490,15 @@ def oracle_sql() -> dict[str, str]:
         "embedding_kmeans": (
             "SELECT vec_id, cluster_id "
             f"FROM read_parquet('{oracle_path(_GOLDEN_SF, 'embedding_kmeans')}')"
+        ),
+        "tsr_assemble": (
+            "SELECT doc_id, table_idx, cell_idx, row_start, col_start, "
+            "row_span, col_span, is_header, cell_text, confidence "
+            f"FROM read_parquet('{oracle_path(_GOLDEN_SF, 'tsr_assemble')}')"
+        ),
+        "tsr_tables_csv": (
+            "SELECT doc_id, table_idx, payload "
+            f"FROM read_parquet('{oracle_path(_GOLDEN_SF, 'tsr_tables_csv')}')"
         ),
         "media_features": (
             "SELECT media_id, media_type, decoded "

@@ -591,6 +591,60 @@ def _oracle_latex_normalize(sf_dir: str) -> pa.Table:
     )
 
 
+
+# --------------------------------------------------------------------- tsr
+
+
+def _oracle_tsr_assemble(sf_dir: str) -> pa.Table:
+    """Serial TATR assembly over the same per-doc synthetic fixtures the
+    distributed stage uses.  This snapshot pins "distributed ≡ serial,
+    deterministic"; kernel-level correctness vs the reference flow is
+    covered separately by the differential fuzz against the verbatim port
+    in tests/test_tatr_differential.py."""
+    from .pipelines.tsr_pipeline import _CELL_DTYPES, cell_rows_for_doc
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id"])
+    rows: List[dict] = []
+    for d in sorted(t.column("doc_id").to_pylist()):
+        rows.extend(cell_rows_for_doc(int(d)))
+    cols = {k: [r[k] for r in rows] for k in _CELL_DTYPES}
+    return pa.table({
+        "doc_id": pa.array(cols["doc_id"], pa.int64()),
+        "table_idx": pa.array(cols["table_idx"], pa.int64()),
+        "cell_idx": pa.array(cols["cell_idx"], pa.int64()),
+        "row_start": pa.array(cols["row_start"], pa.int64()),
+        "col_start": pa.array(cols["col_start"], pa.int64()),
+        "row_span": pa.array(cols["row_span"], pa.int64()),
+        "col_span": pa.array(cols["col_span"], pa.int64()),
+        "is_header": pa.array(cols["is_header"], pa.bool_()),
+        "cell_text": pa.array(cols["cell_text"], pa.string()),
+        "confidence": pa.array(cols["confidence"], pa.float64()),
+    })
+
+
+def _oracle_tsr_tables_csv(sf_dir: str) -> pa.Table:
+    from .functions.tsr import cells_to_csv
+    from .functions.tsr_assemble import assemble_tables
+    from .functions.tsr_fixtures import synth_detection_fixture
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id"])
+    out = {"doc_id": [], "table_idx": [], "payload": []}
+    for d in sorted(t.column("doc_id").to_pylist()):
+        objects, tokens, _ = synth_detection_fixture(int(d))
+        for t_idx, (cells, _conf) in enumerate(assemble_tables(objects, tokens)):
+            payload = cells_to_csv(cells) if cells else None
+            out["doc_id"].append(int(d))
+            out["table_idx"].append(t_idx)
+            out["payload"].append("" if payload is None else payload)
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "table_idx": pa.array(out["table_idx"], pa.int64()),
+        "payload": pa.array(out["payload"], pa.string()),
+    })
+
+
 _BUILDERS = {
     "lang_id": _oracle_lang_id,
     "doc_fingerprints": _oracle_doc_fingerprints,
@@ -600,6 +654,8 @@ _BUILDERS = {
     "embedding_neardup_ivf": _oracle_embedding_neardup_ivf,
     "embedding_kmeans": _oracle_embedding_kmeans,
     "latex_normalize": _oracle_latex_normalize,
+    "tsr_assemble": _oracle_tsr_assemble,
+    "tsr_tables_csv": _oracle_tsr_tables_csv,
     "media_features": _oracle_media_features,
     "media_resize": _oracle_media_resize,
     "video_frame_features": _oracle_video_frames,

@@ -82,7 +82,7 @@ OPS_QUERIES = [
     "lang_id", "doc_fingerprints", "minhash_dedup", "simhash_fingerprints",
     "simhash_neardup", "ann_topk_ivf", "embedding_neardup_ivf",
     "embedding_kmeans", "media_features", "media_resize",
-    "video_frame_features",
+    "video_frame_features", "tsr_assemble", "tsr_tables_csv",
 ]
 
 
