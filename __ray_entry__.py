@@ -169,6 +169,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_suppliers_by_revenue": _relational.top_suppliers_by_revenue,
         "customers_by_region": _relational.customers_by_region,
         "parts_by_brand": _relational.parts_by_brand,
+        # TexMix composite mixed text+equation stage (A7)
+        "texmix_recognize": _q_texmix,
         # TATR table-structure assembly (objects → cell grid → CSV)
         "tsr_assemble": _q_tsr_assemble,
         "tsr_tables_csv": _q_tsr_tables_csv,
@@ -177,6 +179,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": _q_media_resize,
         "video_frame_features": _q_video_frames,
     }
+
+
+def _q_texmix(sf_dir: str):
+    from latyas_ray.pipelines.texmix_pipeline import texmix_recognize
+
+    if _is_golden_dir(sf_dir):
+        ensure_oracle(sf_dir, _GOLDEN_SF, "texmix_recognize")
+    return texmix_recognize(sf_dir)
 
 
 def _q_tsr_assemble(sf_dir: str):
@@ -490,6 +500,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_kmeans": (
             "SELECT vec_id, cluster_id "
             f"FROM read_parquet('{oracle_path(_GOLDEN_SF, 'embedding_kmeans')}')"
+        ),
+        "texmix_recognize": (
+            "SELECT doc_id, mixed_text "
+            f"FROM read_parquet('{oracle_path(_GOLDEN_SF, 'texmix_recognize')}')"
         ),
         "tsr_assemble": (
             "SELECT doc_id, table_idx, cell_idx, row_start, col_start, "

@@ -623,6 +623,20 @@ def _oracle_tsr_assemble(sf_dir: str) -> pa.Table:
     })
 
 
+def _oracle_texmix(sf_dir: str) -> pa.Table:
+    """Serial TexMix composite over the same per-doc synthetic mixed
+    pages the actor-pool stage uses (distributed ≡ serial; the composite's
+    reading-order/equation-wrapping properties are pinned by
+    tests/test_texmix.py's 2000-seed sweep)."""
+    from .pipelines.texmix_pipeline import texmix_serial_rows
+
+    rows = texmix_serial_rows(sf_dir)
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "mixed_text": pa.array([r[1] for r in rows], pa.string()),
+    })
+
+
 def _oracle_tsr_tables_csv(sf_dir: str) -> pa.Table:
     from .functions.tsr import cells_to_csv
     from .functions.tsr_assemble import assemble_tables
@@ -654,6 +668,7 @@ _BUILDERS = {
     "embedding_neardup_ivf": _oracle_embedding_neardup_ivf,
     "embedding_kmeans": _oracle_embedding_kmeans,
     "latex_normalize": _oracle_latex_normalize,
+    "texmix_recognize": _oracle_texmix,
     "tsr_assemble": _oracle_tsr_assemble,
     "tsr_tables_csv": _oracle_tsr_tables_csv,
     "media_features": _oracle_media_features,

@@ -1,0 +1,55 @@
+"""TexMix composite OCR as a Ray Data actor-pool stage.
+
+The composite (:mod:`latyas_ray.models.texmix`) is stateful — two channel
+models — so the stage is a callable CLASS: models are built once per
+actor in ``__init__`` (where real TexTeller/Paddle weights would load),
+batches of doc_ids are recognized in ``__call__``.  Scale shape:
+map-only, no shuffle, O(1) driver state; autoscaling ``(1, N)`` pool so
+small test clusters can't deadlock on a fixed pool (round-1 finding).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import ray.data as rd
+
+from ..models.texmix import TexMixModel, synth_mixed_page
+from ..ops.common import read_table
+
+
+class TexMixStage:
+    def __init__(self) -> None:
+        self.model = TexMixModel()  # per-actor warm state
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].astype("int64")
+        texts = [self.model.recognize(synth_mixed_page(int(d))) for d in ids]
+        return pd.DataFrame({"doc_id": ids.to_numpy(), "mixed_text": texts})
+
+
+def texmix_recognize(sf_dir: str, concurrency=(1, 4)) -> rd.Dataset:
+    """(doc_id, mixed_text) for one synthetic mixed text+equation page
+    per document."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    return ds.map_batches(
+        TexMixStage,
+        batch_format="pandas",
+        batch_size=64,
+        concurrency=concurrency,
+    )
+
+
+def texmix_serial_rows(sf_dir: str):
+    """Serial unit for the oracle snapshot: same per-doc computation, one
+    process, sorted by doc_id."""
+    import pyarrow.parquet as pq
+    import os
+
+    model = TexMixModel()
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id"])
+    out = []
+    for d in sorted(t.column("doc_id").to_pylist()):
+        out.append((int(d), model.recognize(synth_mixed_page(int(d)))))
+    return out

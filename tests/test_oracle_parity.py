@@ -83,6 +83,7 @@ OPS_QUERIES = [
     "simhash_neardup", "ann_topk_ivf", "embedding_neardup_ivf",
     "embedding_kmeans", "media_features", "media_resize",
     "video_frame_features", "tsr_assemble", "tsr_tables_csv",
+    "texmix_recognize",
 ]
 
 
