@@ -227,3 +227,60 @@ class Compose:
         inputs = dict(im_info)
         inputs["image"] = im
         return inputs
+
+
+# ------------------------------------------------------- det postprocess
+
+DET_DRAW_THRESHOLD = 0.5  # PredictConfig default (inference.py:38)
+
+
+def decode_detections(
+    outputs: np.ndarray,
+    label_list: List[str],
+    draw_threshold: float = DET_DRAW_THRESHOLD,
+) -> List[dict]:
+    """RT-DETR ONNX head → labeled boxes — the other half of M14/A2
+    (reference ``det_model/inference.py:179-195`` ``predict``): each
+    output row is (cls_id, score, xmin, ymin, xmax, ymax); keep rows with
+    score STRICTLY above the threshold; xmin/ymin clamp at 0 then
+    int-truncate (xmax/ymax truncate unclamped); emitted as
+    {label, score, x, y, w, h} with w = xmax − x, h = ymax − y — the
+    exact field set of the reference ``Bbox`` (``Bbox.py:17-26``)."""
+    outputs = np.asarray(outputs, dtype=np.float64)
+    if outputs.ndim != 2 or outputs.shape[1] != 6:
+        raise ValueError(f"expected (N, 6) detector output, got {outputs.shape}")
+    res = []
+    for row in outputs:
+        score = float(row[1])
+        if score <= draw_threshold:
+            continue
+        xmin = int(max(row[2], 0))
+        ymin = int(max(row[3], 0))
+        xmax = int(row[4])
+        ymax = int(row[5])
+        res.append({
+            "label": label_list[int(row[0])],
+            "score": score,
+            "x": xmin, "y": ymin,
+            "w": xmax - xmin, "h": ymax - ymin,
+        })
+    return res
+
+
+def detections_to_regions(dets: List[dict]):
+    """Decoded equation detections → overlap-resolved layout regions —
+    the A2 consumption contract (``texteller_layout_model.py:74-88``):
+    label "isolated" → Equation, anything else → EmbedEq; each block is
+    ``insert(0, …)``-ed (so the region list is detection-reversed) and
+    the page then runs overlap resolution with the merge strategy."""
+    from ..blocks import BlockKind
+    from ..overlap import Region, remove_overlapping
+
+    regions = []
+    for d in dets:
+        kind = (BlockKind.Equation if d["label"] == "isolated"
+                else BlockKind.EmbedEq)
+        rect = (float(d["x"]), float(d["y"]),
+                float(d["x"] + d["w"]), float(d["y"] + d["h"]))
+        regions.insert(0, Region(rect, kind, conf=float(d["score"])))
+    return remove_overlapping(regions, strategy="merge")

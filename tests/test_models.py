@@ -304,3 +304,67 @@ def test_pdf_stage_backend_swap_at_actor_level():
     assert echo["u-html"]["extracted_text"] == digest["u-html"]["extracted_text"]
     # deterministic across fresh actors
     assert PdfExtractStage(ocr_backend="digest")(routed).to_pylist() == digest_out
+
+
+# ------------------------- RT-DETR det postprocess (inference.py:179-195)
+
+
+def _reference_predict_port(outputs, label_list, draw_threshold):
+    """Verbatim port of the reference decode loop (det_model/
+    inference.py:179-195) — differential control."""
+    res = []
+    for output in outputs:
+        cls_name = label_list[int(output[0])]
+        score = output[1]
+        xmin = int(max(output[2], 0))
+        ymin = int(max(output[3], 0))
+        xmax = int(output[4])
+        ymax = int(output[5])
+        if score > draw_threshold:
+            res.append((xmin, ymin, ymax - ymin, xmax - xmin, cls_name,
+                        float(score)))
+    return res
+
+
+def test_decode_detections_matches_reference_port():
+    import numpy as np
+
+    from latyas_ray.models.det_preprocess import decode_detections
+
+    rng = np.random.default_rng(1234)
+    labels = ["isolated", "embedded"]
+    for case in range(500):
+        n = int(rng.integers(0, 12))
+        outputs = np.column_stack([
+            rng.integers(0, 2, n).astype(np.float64),
+            rng.uniform(0, 1, n),
+            rng.uniform(-20, 800, n),
+            rng.uniform(-20, 600, n),
+            rng.uniform(-20, 900, n),
+            rng.uniform(-20, 700, n),
+        ]) if n else np.empty((0, 6))
+        got = decode_detections(outputs, labels)
+        want = _reference_predict_port(outputs, labels, 0.5)
+        assert len(got) == len(want), case
+        for g, w in zip(got, want):
+            assert (g["x"], g["y"], g["h"], g["w"], g["label"]) == w[:5], case
+            assert abs(g["score"] - w[5]) < 1e-12
+
+
+def test_detections_to_regions_contract():
+    from latyas_ray.blocks import BlockKind
+    from latyas_ray.models.det_preprocess import detections_to_regions
+
+    dets = [
+        {"label": "isolated", "score": 0.9, "x": 0, "y": 0, "w": 100, "h": 40},
+        {"label": "embedded", "score": 0.6, "x": 300, "y": 0, "w": 50, "h": 20},
+        # near-duplicate of the first → overlap-merge resolves to one
+        {"label": "isolated", "score": 0.7, "x": 2, "y": 2, "w": 100, "h": 40},
+    ]
+    regions = detections_to_regions(dets)
+    kinds = [r.kind for r in regions]
+    assert len(regions) == 2
+    assert BlockKind.EmbedEq in kinds and BlockKind.Equation in kinds
+    eq = next(r for r in regions if r.kind == BlockKind.Equation)
+    # merge keeps the union of the two overlapping isolated boxes
+    assert eq.rect == (0.0, 0.0, 102.0, 42.0)
