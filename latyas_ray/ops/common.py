@@ -27,6 +27,29 @@ def ascii_words(text: str) -> List[str]:
     return _TOKEN_PAT.findall(text)
 
 
+# Python str whitespace MINUS RE2's ASCII \\s class: the chars where
+# str.split() would over-split relative to the pinned definition.
+_DIVERGENT_WS_RE = (
+    "[\x0b\x1c\x1d\x1e\x1f\x85\xa0\u1680\u2000-\u200a"
+    "\u2028\u2029\u202f\u205f\u3000]"
+)
+
+
+def ascii_token_lists(texts: "pd.Series") -> "pd.Series":
+    """Per-row token LISTS under the pinned ASCII definition, at C speed:
+    rows with none of the divergent whitespace chars (the overwhelming
+    majority of any real corpus) take pandas' C ``str.split()``, which is
+    exactly equivalent there; only rows containing a divergent char pay
+    the regex ``findall``.  (The all-findall version measured ~2× slower
+    on the simhash/word-count kernels at sf0.1.)"""
+    texts = texts.fillna("")
+    out = texts.str.split()
+    div = texts.str.contains(_DIVERGENT_WS_RE, regex=True, na=False)
+    if div.any():
+        out[div] = texts[div].str.findall(TOKEN_RE)
+    return out
+
+
 def round_half_away(x) -> "np.ndarray":
     """Round half AWAY from zero — DuckDB's ``round()`` semantics.
     ``np.round`` rounds half to even (banker's), so a product landing

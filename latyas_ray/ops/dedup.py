@@ -40,7 +40,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from .common import TOKEN_RE, read_table
+from .common import ascii_token_lists, read_table
 
 _MERSENNE = (1 << 61) - 1
 _U64 = np.uint64
@@ -140,7 +140,7 @@ def _word_hash_segments(texts: pd.Series) -> List[np.ndarray]:
     """Per-doc word-hash arrays, with blake2b computed once per distinct
     word in the batch (vocabulary-level, not occurrence-level)."""
     texts = texts.fillna("").reset_index(drop=True)
-    split = texts.str.findall(TOKEN_RE)  # pinned ASCII-ws tokenizer
+    split = ascii_token_lists(texts)  # pinned ASCII-ws tokenizer
     lens = split.str.len().fillna(0).astype(int).to_numpy()
     offsets = np.concatenate([[0], np.cumsum(lens)])
     exploded = split.explode().dropna()
@@ -495,7 +495,7 @@ def _simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
     doc with one ``np.add.at`` — no per-word Python loop in the hot path.
     Per-occurrence sign summation ≡ frequency weighting."""
     texts = batch["text"].fillna("").reset_index(drop=True)
-    split = texts.str.findall(TOKEN_RE)  # pinned ASCII-ws tokenizer
+    split = ascii_token_lists(texts)  # pinned ASCII-ws tokenizer
     lens = split.str.len().fillna(0).astype(int).to_numpy()
     exploded = split.explode().dropna()
     n = len(texts)

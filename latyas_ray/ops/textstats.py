@@ -18,7 +18,9 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from .common import TOKEN_RE, WS_RE, merge_partials, read_table
+from .common import (
+    TOKEN_RE, WS_RE, ascii_token_lists, merge_partials, read_table,
+)
 
 # BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
 # Expressible identically in DuckDB: regexp_extract_all(text, ...) — the
@@ -310,7 +312,7 @@ def word_counts(sf_dir: str, k: int = 100) -> pd.DataFrame:
     ds = read_table(sf_dir, "documents", columns=["text"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        words = batch["text"].fillna("").str.findall(TOKEN_RE).explode().dropna()
+        words = ascii_token_lists(batch["text"]).explode().dropna()
         if not len(words):
             return pd.DataFrame(
                 {"word": pd.Series(dtype="object"),
