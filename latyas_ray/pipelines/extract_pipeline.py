@@ -340,14 +340,20 @@ def latex_normalize_dataset(corpus_dir: str) -> "rd.Dataset":
     ds = read_pages(corpus_dir).select_columns(["url", "html"])
 
     def eqs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # Arrow-level prefilter: one vectorized C substring scan drops the
+        # (giant) equation-free majority BEFORE any per-row Python bytes
+        # materialization — to_pylist on the full html column was the
+        # dominant cost of this map-only stage.
+        mask = pc.match_substring(batch.column("html"), "$$")
+        batch = batch.filter(pc.fill_null(mask, False))
         urls, idxs, raws, katexs = [], [], [], []
         for url, html in zip(
             batch.column("url").to_pylist(), batch.column("html").to_pylist()
         ):
             if html is None or html.startswith(b"%PDF"):
                 continue
-            if b"$$" not in html:  # cheap bytes guard: skips the decode +
-                continue  # regex scan on the (giant) equation-free majority
             text = html.decode("utf-8", errors="replace")
             for i, m in enumerate(eq_re.findall(text)):
                 urls.append(url)
