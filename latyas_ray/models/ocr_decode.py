@@ -25,6 +25,15 @@ machinery with equivalent pure geometry, with two documented deviations:
   rectangle grown by d on each side — which is exactly what
   ``unclip → get_mini_boxes`` computes in quad mode.  No polygon
   clipper needed.
+- box scoring rasterizes differently: the reference casts the rotated
+  quad to int32 and fills with ``cv2.fillPoly``; ``_fill_mean`` tests
+  exact float half-planes at pixel coordinates.  For rotated quads the
+  two pixel sets differ along boundary rows, so a box whose mean score
+  sits within a boundary-pixel's weight of ``box_thresh`` can be kept
+  by one implementation and dropped by the other.
+- interior holes are not candidates: ``cv2.findContours(RETR_LIST)``
+  also emits hole contours (which count against ``max_candidates``);
+  connected-component labeling never produces them.
 """
 
 from __future__ import annotations
@@ -55,9 +64,9 @@ class CTCLabelDecode:
 
     def __call__(self, preds: np.ndarray) -> List[Tuple[str, float]]:
         """``preds``: (N, T, C) probability grid → [(text, conf), ...]."""
-        preds = np.asarray(preds)
         if isinstance(preds, (tuple, list)):  # reference accepts head lists
             preds = preds[-1]
+        preds = np.asarray(preds)
         idx = preds.argmax(axis=2)
         prob = preds.max(axis=2)
         return self.decode(idx, prob, is_remove_duplicate=True)
@@ -75,7 +84,10 @@ class CTCLabelDecode:
             if text_prob is not None:
                 conf = np.asarray(text_prob[b])[keep]
             else:
-                conf = np.ones(int(keep.sum()))
+                # the reference fills [1] * len(selection) — the FULL
+                # T-length, so a prob-less decode is conf 1.0 even when
+                # everything collapses to blank
+                conf = np.ones(len(seq))
             if len(conf) == 0:
                 conf = np.array([0.0])
             out.append((text, float(np.mean(conf))))

@@ -182,15 +182,19 @@ class TexMixModel:
         text_bboxes = [text_bboxes[i] for i in order]
 
         # split every text line around the equations embedded ≥80% in it
-        # (:110-124); equations are x-sorted so the cursor only moves right
+        # (:110-124): membership is measured against the ORIGINAL line box
+        # (texmix_model.py:113-116 collects need_split_eq_blocks before any
+        # cutting), then the x-sorted cursor walk splits sequentially
         for bbox in text_bboxes:
-            cur: Optional[Rect] = (bbox.x1, bbox.y1, bbox.x2, bbox.y2)
-            for eq in eq_bboxes:
-                eq_rect = (eq.x1, eq.y1, eq.x2, eq.y2)
-                if _inter_over_eq(eq_rect, cur) <= 0.8:
-                    continue
-                lhs, _ = _split_x(cur, eq_rect[0])
-                _, cur = _split_x(cur, eq_rect[2])
+            orig: Rect = (bbox.x1, bbox.y1, bbox.x2, bbox.y2)
+            eqs_in = [
+                eq for eq in eq_bboxes
+                if _inter_over_eq((eq.x1, eq.y1, eq.x2, eq.y2), orig) > 0.8
+            ]
+            cur: Optional[Rect] = orig
+            for eq in eqs_in:
+                lhs, _ = _split_x(cur, eq.x1)
+                _, cur = _split_x(cur, eq.x2)
                 if lhs is not None:
                     snippets.append(TextBoundingBox(*lhs, text=None, conf=1.0))
                 if cur is None:

@@ -638,24 +638,17 @@ def _oracle_texmix(sf_dir: str) -> pa.Table:
 
 
 def _oracle_tsr_tables_csv(sf_dir: str) -> pa.Table:
-    from .functions.tsr import cells_to_csv
-    from .functions.tsr_assemble import assemble_tables
-    from .functions.tsr_fixtures import synth_detection_fixture
+    from .pipelines.tsr_pipeline import serialized_rows_for_doc
 
     t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                       columns=["doc_id"])
-    out = {"doc_id": [], "table_idx": [], "payload": []}
+    rows: List[dict] = []
     for d in sorted(t.column("doc_id").to_pylist()):
-        objects, tokens, _ = synth_detection_fixture(int(d))
-        for t_idx, (cells, _conf) in enumerate(assemble_tables(objects, tokens)):
-            payload = cells_to_csv(cells) if cells else None
-            out["doc_id"].append(int(d))
-            out["table_idx"].append(t_idx)
-            out["payload"].append("" if payload is None else payload)
+        rows.extend(serialized_rows_for_doc(int(d), "csv"))
     return pa.table({
-        "doc_id": pa.array(out["doc_id"], pa.int64()),
-        "table_idx": pa.array(out["table_idx"], pa.int64()),
-        "payload": pa.array(out["payload"], pa.string()),
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "table_idx": pa.array([r["table_idx"] for r in rows], pa.int64()),
+        "payload": pa.array([r["payload"] for r in rows], pa.string()),
     })
 
 

@@ -75,24 +75,36 @@ def tsr_assemble_cells(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(assemble, batch_format="pandas", batch_size=64)
 
 
+def serialized_rows_for_doc(doc_id: int, fmt: str = "csv") -> list:
+    """Serial per-doc unit for the serializer path: fixture → assembly →
+    CSV/HTML render → (doc_id, table_idx, payload) rows.  Shared by the
+    distributed stage and the serial oracle (same pattern as
+    :func:`cell_rows_for_doc`)."""
+    render = cells_to_csv if fmt == "csv" else cells_to_html
+    objects, tokens, _ = synth_detection_fixture(int(doc_id))
+    rows = []
+    for t_idx, (cells, _conf) in enumerate(assemble_tables(objects, tokens)):
+        payload = render(cells) if cells else None
+        rows.append({
+            "doc_id": int(doc_id),
+            "table_idx": t_idx,
+            "payload": "" if payload is None else payload,
+        })
+    return rows
+
+
 def tsr_serialize(sf_dir: str, fmt: str = "csv") -> rd.Dataset:
     """Per-document serialized tables: (doc_id, table_idx, payload) where
     payload is the assembled cells rendered via the existing CSV/HTML
     serializers — the full objects → cells → serializer path."""
-    render = cells_to_csv if fmt == "csv" else cells_to_html
     ds = read_table(sf_dir, "documents", columns=["doc_id"])
 
     def run(batch: pd.DataFrame) -> pd.DataFrame:
-        out = {"doc_id": [], "table_idx": [], "payload": []}
+        rows = []
         for doc_id in batch["doc_id"].astype("int64"):
-            objects, tokens, _ = synth_detection_fixture(int(doc_id))
-            for t_idx, (cells, _conf) in enumerate(assemble_tables(objects, tokens)):
-                payload = render(cells) if cells else None
-                out["doc_id"].append(int(doc_id))
-                out["table_idx"].append(t_idx)
-                out["payload"].append("" if payload is None else payload)
-        return pd.DataFrame(out).astype(
-            {"doc_id": "int64", "table_idx": "int64", "payload": "object"}
-        )
+            rows.extend(serialized_rows_for_doc(int(doc_id), fmt))
+        return pd.DataFrame(
+            rows, columns=["doc_id", "table_idx", "payload"]
+        ).astype({"doc_id": "int64", "table_idx": "int64", "payload": "object"})
 
     return ds.map_batches(run, batch_format="pandas", batch_size=64)

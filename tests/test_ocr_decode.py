@@ -110,3 +110,22 @@ def test_db_two_blobs_two_boxes():
     pp = DBPostProcess(box_thresh=0.5)
     out = pp({"maps": pred}, [[60, 100, 1.0, 1.0]])
     assert len(out[0]["points"]) == 2
+
+
+def test_ctc_accepts_head_list():
+    # the reference accepts a list of head outputs and decodes the last
+    dec = CTCLabelDecode()
+    preds = np.zeros((1, 4, len(dec.character)))
+    preds[0, :, 0] = 0.6
+    preds[0, 1, 11] = 0.9  # 'a'
+    assert dec([np.zeros((1, 2, 3)), preds]) == dec(preds) == [("a", 0.9)]
+
+
+def test_ctc_probless_decode_conf_is_one():
+    # reference fills [1] * len(selection) (full T length): an all-blank
+    # prob-less decode is ('', 1.0), not ('', 0.0)
+    dec = CTCLabelDecode()
+    idx = np.array([[0, 0, 0]])
+    assert dec.decode(idx, None, is_remove_duplicate=True) == [("", 1.0)]
+    idx2 = np.array([[0, 11, 11]])
+    assert dec.decode(idx2, None, is_remove_duplicate=True) == [("a", 1.0)]

@@ -101,3 +101,24 @@ def test_stage_runs_distributed(ray_session):
     serial = texmix_serial_rows(sf)
     assert list(dist["doc_id"]) == [r[0] for r in serial]
     assert list(dist["mixed_text"]) == [r[1] for r in serial]
+
+
+def test_overlapping_equation_detections_split_like_reference():
+    # two eq detections overlapping in x within one line: membership is
+    # judged against the ORIGINAL line box (reference :113-116), so BOTH
+    # split even though the second's overlap with the post-cut remainder
+    # would fall below 0.8
+    page = MixedPage([
+        PageToken((10, 40, 40, 56), "pre", False),
+        PageToken((50, 40, 110, 56), r"\frac{a}{b}", True),
+        PageToken((100, 40, 130, 56), r"\sum x_i", True),  # overlaps eq1
+        PageToken((140, 40, 170, 56), "post", False),
+    ])
+    out = TexMixModel().recognize(page)
+    toks = out.split()
+    # both equations wrapped, pre/post text present exactly once
+    assert toks.count(r"$\frac{a}{b}$") == 1
+    assert toks.count(r"$\sum") == 1  # "$\sum x_i$" splits on the space
+    assert toks.count("pre") == 1 and toks.count("post") == 1
+    # no equation text leaks into a TEXT snippet (would appear unwrapped)
+    assert r"\frac{a}{b}" not in [t for t in toks if not t.startswith("$")]
