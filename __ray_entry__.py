@@ -134,6 +134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": _textstats.quality_filter,
         "chars_percentiles_by_lang": _textstats.chars_percentiles_by_lang,
         "word_counts": _textstats.word_counts,
+        "sample_stratified": _textstats.sample_stratified,
+        "sample_bernoulli": _textstats.sample_bernoulli,
         "lang_id": _oracled("lang_id", _textstats.lang_id),
         "doc_fingerprints": _oracled("doc_fingerprints", _textstats.doc_fingerprints),
         # dedup family
@@ -291,6 +293,20 @@ def oracle_sql() -> dict[str, str]:
         "top_docs": (
             "SELECT doc_id, n_chars FROM documents "
             "ORDER BY n_chars DESC, doc_id LIMIT 20"
+        ),
+        "sample_bernoulli": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, "
+            "CAST(n_chars AS BIGINT) AS n_chars FROM documents "
+            "WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < "
+            f"'{(10 * (16 ** 8)) // 100:08x}'"
+        ),
+        "sample_stratified": (
+            "SELECT lang, doc_id, sample_key FROM ("
+            "SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, "
+            "md5(CAST(doc_id AS VARCHAR)) AS sample_key, "
+            "row_number() OVER (PARTITION BY lang "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+            "FROM documents) WHERE rn <= 50"
         ),
         "dedup_exact": (
             "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, "

@@ -133,6 +133,8 @@ def run_bench() -> dict:
         "chars_percentiles_by_lang": textstats.chars_percentiles_by_lang,
         "word_counts": textstats.word_counts,
         "lang_id": textstats.lang_id,
+        "sample_stratified": textstats.sample_stratified,
+        "sample_bernoulli": textstats.sample_bernoulli,
         "doc_fingerprints": textstats.doc_fingerprints,
         "dedup_exact": dedup.dedup_exact,
         "minhash_dedup": dedup.minhash_dedup,

@@ -342,3 +342,69 @@ def word_counts(sf_dir: str, k: int = 100) -> pd.DataFrame:
         .reset_index(drop=True)
     )
     return out[["word", "n"]].astype({"n": "int64"})
+
+
+def sample_stratified(sf_dir: str, k_per_lang: int = 50) -> pd.DataFrame:
+    """Deterministic stratified sample: exactly ``k_per_lang`` documents
+    per language (fewer if the stratum is smaller), selected by the
+    smallest ``md5(doc_id)`` digests — the training-data-mixing primitive
+    (uniform-at-random per stratum under the random-oracle view of md5,
+    yet exactly reproducible on any engine: DuckDB's ``md5()`` produces
+    identical digests, so the oracle is plain SQL).
+
+    Scale shape: distributed top-k per stratum — each batch keeps its
+    local k-smallest keys per lang (one vectorized pandas groupby), the
+    driver merges O(batches × langs × k) survivor rows.  No shuffle, no
+    global sort.  Output: (lang, doc_id, sample_key)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def local_k(batch: pd.DataFrame) -> pd.DataFrame:
+        key = batch["doc_id"].astype("int64").astype(str).map(
+            lambda s: hashlib.md5(s.encode()).hexdigest()
+        )
+        df = pd.DataFrame(
+            {"lang": batch["lang"], "doc_id": batch["doc_id"].astype("int64"),
+             "sample_key": key}
+        )
+        return (
+            df.sort_values(["lang", "sample_key", "doc_id"])
+            .groupby("lang", as_index=False)
+            .head(k_per_lang)
+        )
+
+    parts = ds.map_batches(
+        local_k, batch_format="pandas", batch_size=16384
+    ).to_pandas()
+    out = (
+        parts.sort_values(["lang", "sample_key", "doc_id"])
+        .groupby("lang", as_index=False)
+        .head(k_per_lang)
+        .reset_index(drop=True)
+    )
+    return out[["lang", "doc_id", "sample_key"]].astype(
+        {"doc_id": "int64"}
+    )
+
+
+def sample_bernoulli(sf_dir: str, rate_pct: int = 10) -> rd.Dataset:
+    """Deterministic Bernoulli sample at ``rate_pct``%: keep a document
+    iff the first 8 hex chars of ``md5(doc_id)`` fall below the rate
+    threshold — the map-only, shuffle-free sampling primitive (each of
+    10^12 rows decides locally; any engine reproduces the exact subset).
+    Fixed-width lowercase hex compares lexicographically as numbers, so
+    the oracle is a plain DuckDB string comparison.
+    Output: (doc_id, lang, n_chars) of the kept rows."""
+    thresh = format((rate_pct * (16 ** 8)) // 100, "08x")
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        key = batch["doc_id"].astype("int64").astype(str).map(
+            lambda s: hashlib.md5(s.encode()).hexdigest()[:8]
+        )
+        out = batch[key < thresh]
+        return pd.DataFrame(
+            {"doc_id": out["doc_id"].astype("int64"),
+             "lang": out["lang"], "n_chars": out["n_chars"].astype("int64")}
+        )
+
+    return ds.map_batches(keep, batch_format="pandas", batch_size=16384)

@@ -74,6 +74,7 @@ OPS_QUERIES = [
     "sessionize", "lineitem_pricing_summary", "orders_by_nation",
     # round-2 additions (plain SQL oracles)
     "quality_filter", "chars_percentiles_by_lang", "word_counts",
+    "sample_stratified", "sample_bernoulli",
     "knn_label_vote", "events_top_users_by_value", "events_props_rollup",
     "contamination_check", "ngram_jaccard",
     # corpus-facing M8 pipeline vs its serial snapshot
