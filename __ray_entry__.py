@@ -113,6 +113,17 @@ def _q_latex_normalize(sf_dir: str):
     return latex_normalize_dataset(corpus)
 
 
+def _q_semantic_reflow(sf_dir: str):
+    """A9 semantic reflow: NSP-gated reading-order refinement over the
+    extraction output (actor-pool stage; digest scorer stands in for
+    BertForNextSentencePrediction — see functions/semantic_reflow.py)."""
+    from latyas_ray.pipelines.semantic_pipeline import semantic_reflow_dataset
+
+    if _is_golden_dir(sf_dir):
+        ensure_oracle(sf_dir, _GOLDEN_SF, "semantic_reflow")
+    return semantic_reflow_dataset(_extract_ds(sf_dir))
+
+
 def entry() -> Any:
     """Flagship: synth corpus at sf0.001 → streaming extraction pipeline."""
     corpus = ensure_corpus_for_sf("sf0.001")
@@ -126,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pipeline": _q_extract_pipeline,
         "extract_regions": _q_extract_regions,
         "latex_normalize": _q_latex_normalize,
+        "semantic_reflow": _q_semantic_reflow,
         # text analysis over documents
         "doc_stats_by_lang": _textstats.doc_stats_by_lang,
         "token_counts": _textstats.token_counts,
@@ -478,6 +490,10 @@ def oracle_sql() -> dict[str, str]:
         "latex_normalize": (
             "SELECT url, eq_idx, raw, katex "
             f"FROM read_parquet('{oracle_path(_GOLDEN_SF, 'latex_normalize')}')"
+        ),
+        "semantic_reflow": (
+            "SELECT url, page, region_id, sem_order "
+            f"FROM read_parquet('{oracle_path(_GOLDEN_SF, 'semantic_reflow')}')"
         ),
         "lang_id": (
             "SELECT doc_id, lang_pred "

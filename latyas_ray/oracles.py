@@ -637,6 +637,102 @@ def _oracle_texmix(sf_dir: str) -> pa.Table:
     })
 
 
+def _oracle_semantic_reflow(sf_dir: str) -> pa.Table:
+    """Serial semantic-reflow oracle (A9): ``extract_one`` per corpus
+    document, then a verbatim port of the reference's NSP pair-scan loop
+    (``bert_reflow.py:19-53``) seeded by a port of the grid sort it
+    intends to call (``position_reflow.py:5-19``), with the digest
+    scorer's margin reimplemented inline — independent of
+    ``functions.semantic_reflow``'s loop structure.
+
+    Deviations shared with the engine (documented there): grid scale
+    factors clamped to ≥1 (the strict reference divides by zero for
+    pages narrower than a chunk), and page dims taken from the rect
+    extents because extracted documents carry no pixel page.
+    """
+    import glob as _glob
+    import hashlib as _hashlib
+
+    from .corpus import ensure_corpus_for_sf, sf_label_from_dir
+    from .extract import extract_one
+
+    def _margin(lhs: str, rhs: str) -> float:
+        h = _hashlib.blake2b(
+            f"nsp/1|{lhs}\x00{rhs}".encode("utf-8"), digest_size=8
+        ).digest()
+        return (int.from_bytes(h, "big") % 12001 - 6000) / 1000.0
+
+    def _grid_seed(rects, page_h, page_w):
+        # position_reflow.py:8-19 (sf clamped)
+        sf = (max(1, int(page_h) // 256), max(1, int(page_w) // 3))
+        sorted_bbox = []
+        for bbox_i in range(len(rects)):
+            x, y, x2, y2 = rects[bbox_i]
+            x, y, x2, y2 = int(x), int(y), int(x2), int(y2)
+            sorted_bbox.append(((x // sf[1], y // sf[0], x2 // sf[1], y2 // sf[0]), bbox_i))
+        sorted_bbox = sorted(sorted_bbox, key=lambda x: x[0])
+        return [item[1] for item in sorted_bbox]
+
+    def _nsp_loop(rects, texts, position_blocks, threshold=3):
+        # bert_reflow.py:19-53, with the model call replaced by _margin
+        for bbox_i in range(len(position_blocks)):
+            for bbox_j in range(bbox_i, len(position_blocks)):
+                if bbox_i == bbox_j:
+                    continue
+                lhs_bbox = rects[position_blocks[bbox_i]]
+                rhs_bbox = rects[position_blocks[bbox_j]]
+                if rhs_bbox[0] < lhs_bbox[2] and rhs_bbox[1] < lhs_bbox[3]:
+                    continue
+                lhs_text = texts[position_blocks[bbox_i]]
+                rhs_text = texts[position_blocks[bbox_j]]
+                if lhs_text is None or rhs_text is None:
+                    continue
+                if _margin(lhs_text, rhs_text) - 0.0 > threshold:
+                    old_ele = position_blocks[bbox_j]
+                    del position_blocks[bbox_j]
+                    position_blocks.insert(bbox_i + 1, old_ele)
+        return position_blocks
+
+    label = sf_label_from_dir(sf_dir)
+    corpus = ensure_corpus_for_sf(label, use_ray="no")
+    urls, pages, rids, orders = [], [], [], []
+    for path in sorted(_glob.glob(os.path.join(corpus, "pages-*.parquet"))):
+        t = pq.read_table(path, columns=["url", "html", "text", "lang"])
+        for url, html, text, lang in zip(
+            t.column("url").to_pylist(), t.column("html").to_pylist(),
+            t.column("text").to_pylist(), t.column("lang").to_pylist(),
+        ):
+            res = extract_one(url, html, text, lang)
+            by_page: dict = {}
+            for reg in res["regions"]:
+                by_page.setdefault(int(reg["page"]), []).append(reg)
+            for page in sorted(by_page):
+                regs = sorted(by_page[page], key=lambda r: int(r["region_id"]))
+                rects = [(r["x1"], r["y1"], r["x2"], r["y2"]) for r in regs]
+                texts = []
+                for r in regs:
+                    cs, ce = int(r["char_start"]), int(r["char_end"])
+                    texts.append(
+                        res["extracted_text"][cs:ce] if 0 <= cs <= ce else None
+                    )
+                page_h = max(r[3] for r in rects)
+                page_w = max(r[2] for r in rects)
+                order = _nsp_loop(
+                    rects, texts, _grid_seed(rects, float(page_h), float(page_w))
+                )
+                for pos, li in enumerate(order):
+                    urls.append(url)
+                    pages.append(page)
+                    rids.append(int(regs[li]["region_id"]))
+                    orders.append(pos)
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "page": pa.array(pages, pa.int32()),
+        "region_id": pa.array(rids, pa.int32()),
+        "sem_order": pa.array(orders, pa.int32()),
+    })
+
+
 def _oracle_tsr_tables_csv(sf_dir: str) -> pa.Table:
     from .pipelines.tsr_pipeline import serialized_rows_for_doc
 
@@ -661,6 +757,7 @@ _BUILDERS = {
     "embedding_neardup_ivf": _oracle_embedding_neardup_ivf,
     "embedding_kmeans": _oracle_embedding_kmeans,
     "latex_normalize": _oracle_latex_normalize,
+    "semantic_reflow": _oracle_semantic_reflow,
     "texmix_recognize": _oracle_texmix,
     "tsr_assemble": _oracle_tsr_assemble,
     "tsr_tables_csv": _oracle_tsr_tables_csv,

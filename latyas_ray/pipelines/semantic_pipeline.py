@@ -1,0 +1,105 @@
+"""Semantic reflow as a Ray Data stage (A9 / SURVEY §2.3).
+
+Runs ``functions.semantic_reflow`` over the extraction output: one call
+per (url, page) region group, inside an actor-pool ``map_batches`` stage
+whose scorer is constructed once per actor (``__init__``) — the slot a
+real ``BertForNextSentencePrediction`` backend occupies on a GPU pool.
+Map-only over documents: zero shuffle, page-local work, the same
+distribution shape as the extraction pipeline itself.
+
+Output: one row per region — ``(url, page, region_id, sem_order)`` where
+``sem_order`` is the region's position in the refined reading order of
+its page.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..functions.semantic_reflow import DigestNSPScorer, NSPScorer, semantic_reflow
+
+SEMANTIC_REFLOW_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("page", pa.int32()),
+        ("region_id", pa.int32()),
+        ("sem_order", pa.int32()),
+    ]
+)
+
+
+def reflow_rows_for_doc(
+    url: str, extracted_text: str, regions: list, scorer: NSPScorer
+) -> list:
+    """Pure per-document unit shared by the distributed stage and the
+    serial oracle: group regions by page, refine each page's order, and
+    emit (url, page, region_id, sem_order) tuples.
+
+    Region text is the block's slice of ``extracted_text`` (regions with
+    no text extent — figures, tables without offsets — carry ``None``
+    and are skipped by the pair gate, matching the reference's
+    ``lhs_text is None`` skip at ``bert_reflow.py:30``).
+    """
+    by_page: dict = {}
+    for reg in regions or []:
+        by_page.setdefault(int(reg["page"]), []).append(reg)
+    rows = []
+    for page in sorted(by_page):
+        regs = sorted(by_page[page], key=lambda r: int(r["region_id"]))
+        rects = [
+            (float(r["x1"]), float(r["y1"]), float(r["x2"]), float(r["y2"]))
+            for r in regs
+        ]
+        texts = []
+        for r in regs:
+            cs, ce = int(r["char_start"]), int(r["char_end"])
+            texts.append(extracted_text[cs:ce] if 0 <= cs <= ce else None)
+        order = semantic_reflow(rects, texts, scorer)
+        for pos, local_idx in enumerate(order):
+            rows.append((url, page, int(regs[local_idx]["region_id"]), pos))
+    return rows
+
+
+class SemanticReflowStage:
+    """Actor-pool stage: scorer built once per actor, applied per batch."""
+
+    def __init__(self, scorer: Optional[NSPScorer] = None) -> None:
+        self.scorer = scorer if scorer is not None else DigestNSPScorer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls, pages, rids, orders = [], [], [], []
+        for url, text, regions in zip(
+            batch.column("url").to_pylist(),
+            batch.column("extracted_text").to_pylist(),
+            batch.column("regions").to_pylist(),
+        ):
+            for u, p, rid, pos in reflow_rows_for_doc(
+                url, text or "", regions, self.scorer
+            ):
+                urls.append(u)
+                pages.append(p)
+                rids.append(rid)
+                orders.append(pos)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "page": pa.array(pages, pa.int32()),
+                "region_id": pa.array(rids, pa.int32()),
+                "sem_order": pa.array(orders, pa.int32()),
+            }
+        )
+
+
+def semantic_reflow_dataset(extract_ds: rd.Dataset) -> rd.Dataset:
+    """Attach the semantic-reflow stage to an extraction dataset."""
+    return extract_ds.select_columns(["url", "extracted_text", "regions"]).map_batches(
+        SemanticReflowStage,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )

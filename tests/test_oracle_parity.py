@@ -85,6 +85,8 @@ OPS_QUERIES = [
     "embedding_kmeans", "media_features", "media_resize",
     "video_frame_features", "tsr_assemble", "tsr_tables_csv",
     "texmix_recognize",
+    # round-3 additions
+    "semantic_reflow",
 ]
 
 
