@@ -32,6 +32,7 @@ from latyas_ray.ops import events as _events
 from latyas_ray.ops import relational as _relational
 from latyas_ray.ops import similarity as _similarity
 from latyas_ray.ops import textstats as _textstats
+from latyas_ray.ops import webtext as _webtext
 from latyas_ray.pipelines.extract_pipeline import extract_dataset, read_pages
 
 _EXTRACT_COLUMNS = [
@@ -150,6 +151,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_bernoulli": _textstats.sample_bernoulli,
         "lang_id": _oracled("lang_id", _textstats.lang_id),
         "doc_fingerprints": _oracled("doc_fingerprints", _textstats.doc_fingerprints),
+        # web-corpus curation over the CC-shaped pages table (independent
+        # DuckDB SQL oracles over the same parquet shards)
+        "latest_snapshot": _webtext.latest_snapshot,
+        "domain_stats": _webtext.domain_stats,
+        "pii_scrub": _webtext.pii_scrub,
+        "line_repetition": _webtext.line_repetition,
+        "line_dedup": _webtext.line_dedup,
+        "boilerplate_strip": _webtext.boilerplate_strip,
         # dedup family
         "dedup_exact": _dedup.dedup_exact,
         "minhash_dedup": _oracled("minhash_dedup", _dedup.minhash_dedup),
@@ -494,6 +503,86 @@ def oracle_sql() -> dict[str, str]:
         "semantic_reflow": (
             "SELECT url, page, region_id, sem_order "
             f"FROM read_parquet('{oracle_path(_GOLDEN_SF, 'semantic_reflow')}')"
+        ),
+        # --- web-corpus curation: INDEPENDENT SQL over the same corpus
+        # parquet shards the Ray ops read (no serial snapshot in the loop);
+        # string semantics pinned in ops/webtext.py ---
+        "latest_snapshot": (
+            "WITH p AS (SELECT split_part(split_part(url, '://', 2), '/', 1)"
+            " AS host, split_part(split_part(url, '://', 2), '/', 2) AS"
+            " section, url, warc_ts "
+            f"FROM read_parquet('{_webtext.corpus_glob(_GOLDEN_SF)}')) "
+            "SELECT host, section, url, warc_ts FROM ("
+            "SELECT p.*, row_number() OVER (PARTITION BY host, section "
+            "ORDER BY warc_ts DESC, url DESC) AS rn FROM p) WHERE rn = 1"
+        ),
+        "domain_stats": (
+            "WITH p AS (SELECT split_part(split_part(url, '://', 2), '/', 1)"
+            " AS host, lang, octet_length(html) AS nb, "
+            "length(coalesce(text, '')) AS nc, "
+            "CASE WHEN substr(hex(html), 1, 8) = '25504446' THEN 1 ELSE 0 "
+            "END AS pdf "
+            f"FROM read_parquet('{_webtext.corpus_glob(_GOLDEN_SF)}')) "
+            "SELECT host, CAST(count(*) AS BIGINT) AS n_pages, "
+            "CAST(sum(pdf) AS BIGINT) AS n_pdf, "
+            "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, "
+            "CAST(sum(nb) AS BIGINT) AS sum_html_bytes, "
+            "CAST(sum(nc) AS BIGINT) AS sum_text_chars "
+            "FROM p GROUP BY host"
+        ),
+        "pii_scrub": (
+            "SELECT url, "
+            "CAST(length(regexp_extract_all(coalesce(text, ''), "
+            f"'{_webtext.EMAIL_RE}')) AS BIGINT) AS n_emails, "
+            "CAST(length(regexp_extract_all(coalesce(text, ''), "
+            f"'{_webtext.IPV4_RE}')) AS BIGINT) AS n_ipv4, "
+            "CAST(length(regexp_extract_all(coalesce(text, ''), "
+            f"'{_webtext.PHONE_RE}')) AS BIGINT) AS n_phones, "
+            "md5(regexp_replace(regexp_replace(regexp_replace("
+            f"coalesce(text, ''), '{_webtext.EMAIL_RE}', '<EMAIL>', 'g'), "
+            f"'{_webtext.IPV4_RE}', '<IP>', 'g'), "
+            f"'{_webtext.PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5 "
+            f"FROM read_parquet('{_webtext.corpus_glob(_GOLDEN_SF)}')"
+        ),
+        "line_repetition": (
+            "WITH lines AS (SELECT url, unnest(string_split("
+            "coalesce(text, ''), chr(10))) AS line "
+            f"FROM read_parquet('{_webtext.corpus_glob(_GOLDEN_SF)}')), "
+            "nl AS (SELECT url, line, count(*) AS c FROM lines "
+            "WHERE line <> '' GROUP BY url, line) "
+            "SELECT url, CAST(sum(c) AS BIGINT) AS n_lines, "
+            "CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) "
+            "AS n_dup_lines, "
+            "CAST(sum(length(line) * c) AS BIGINT) AS n_chars, "
+            "CAST(sum(CASE WHEN c > 1 THEN length(line) * c ELSE 0 END) "
+            "AS BIGINT) AS n_dup_chars "
+            "FROM nl GROUP BY url"
+        ),
+        "line_dedup": (
+            "WITH lines AS (SELECT url, unnest(string_split("
+            "coalesce(text, ''), chr(10))) AS line "
+            f"FROM read_parquet('{_webtext.corpus_glob(_GOLDEN_SF)}')) "
+            "SELECT md5(line) AS line_md5, "
+            "CAST(count(DISTINCT url) AS BIGINT) AS n_urls, "
+            "CAST(count(*) AS BIGINT) AS n_total "
+            "FROM lines WHERE line <> '' GROUP BY md5(line) "
+            "HAVING count(*) >= 2"
+        ),
+        "boilerplate_strip": (
+            "WITH src AS (SELECT url, string_split(coalesce(text, ''), "
+            "chr(10)) AS ls "
+            f"FROM read_parquet('{_webtext.corpus_glob(_GOLDEN_SF)}')), "
+            "lines AS (SELECT url, unnest(ls) AS line, "
+            "generate_subscripts(ls, 1) AS ord FROM src), "
+            "removal AS (SELECT md5(line) AS m FROM lines WHERE line <> '' "
+            "GROUP BY md5(line) HAVING count(DISTINCT url) >= 10), "
+            "flagged AS (SELECT url, line, ord, (line <> '' AND md5(line) "
+            "IN (SELECT m FROM removal)) AS rm FROM lines), "
+            "agg AS (SELECT url, CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_removed, "
+            "coalesce(string_agg(CASE WHEN rm THEN NULL ELSE line END, "
+            "chr(10) ORDER BY ord), '') AS clean FROM flagged GROUP BY url) "
+            "SELECT url, n_removed, md5(clean) AS clean_md5 FROM agg"
         ),
         "lang_id": (
             "SELECT doc_id, lang_pred "

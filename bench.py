@@ -165,6 +165,23 @@ def run_bench() -> dict:
     op_fns["tsr_assemble"] = tsr_assemble_cells
     op_fns["tsr_tables_csv"] = tsr_serialize
     op_fns["texmix_recognize"] = texmix_recognize
+    from latyas_ray.ops import webtext
+
+    from latyas_ray.pipelines.semantic_pipeline import semantic_reflow_dataset
+
+    def _semantic_reflow(sf_dir_):
+        return semantic_reflow_dataset(
+            extract_dataset(read_pages(corpus), batch_size=32,
+                            use_actors=True, concurrency=(1, 8))
+        )
+
+    op_fns["semantic_reflow"] = _semantic_reflow
+    op_fns["latest_snapshot"] = webtext.latest_snapshot
+    op_fns["domain_stats"] = webtext.domain_stats
+    op_fns["pii_scrub"] = webtext.pii_scrub
+    op_fns["line_repetition"] = webtext.line_repetition
+    op_fns["line_dedup"] = webtext.line_dedup
+    op_fns["boilerplate_strip"] = webtext.boilerplate_strip
     if skip_queries:
         op_fns = {}
     for name, fn in op_fns.items():

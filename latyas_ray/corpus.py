@@ -33,9 +33,11 @@ import pyarrow.parquet as pq
 from .extract import extract_one
 from .pdf_extract import PDF_MAGIC
 
-CORPUS_VERSION = "latyas-corpus/3"  # /2: pdf_real family (genuine PDF
+CORPUS_VERSION = "latyas-corpus/4"  # /2: pdf_real family (genuine PDF
 # bytes); /3: HTML breadth — rowspan/colspan tables, <dl>, <pre>,
-# entity-heavy boilerplate pages
+# entity-heavy boilerplate pages; /4: deterministic PII (contact line
+# with email / ipv4 / phone on every third site) so the webtext
+# pii_scrub op has real material in the text channel
 EPOCH_2024_US = 1704067200 * 1_000_000  # 2024-01-01T00:00:00Z in microseconds
 
 PAGES_SCHEMA = pa.schema(
@@ -126,10 +128,23 @@ def _footer(site: int) -> str:
     return f"<footer>© 2024 site{site}.example · Terms · Privacy</footer>"
 
 
+def _contact(site: int) -> str:
+    """Deterministic PII paragraph on every third site — real material
+    for the pii_scrub webtext op (email, ipv4, phone; all RE2-matchable
+    ASCII).  Content-level <p>, so it survives into the extracted text
+    and the candidate ``text`` channel."""
+    if site % 3:
+        return ""
+    return (
+        f"<p>Contact: info@site{site}.example or +1-555-{site:04d} "
+        f"(mirror 192.0.2.{site}).</p>"
+    )
+
+
 def _wrap(site: int, title: str, body: str) -> str:
     return (
         "<!DOCTYPE html><html><head><meta charset=\"utf-8\">"
-        f"<title>{title}</title></head><body>{body}</body></html>"
+        f"<title>{title}</title></head><body>{body}{_contact(site)}</body></html>"
     )
 
 

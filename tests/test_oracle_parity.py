@@ -87,6 +87,9 @@ OPS_QUERIES = [
     "texmix_recognize",
     # round-3 additions
     "semantic_reflow",
+    # web-corpus curation (independent SQL over the corpus shards)
+    "latest_snapshot", "domain_stats", "pii_scrub", "line_repetition",
+    "line_dedup", "boilerplate_strip",
 ]
 
 
@@ -135,11 +138,14 @@ def test_every_oracle_sql_parses(entry_mod, con):
     schemas without paying for the sf0.01 serial oracle."""
     from latyas_ray.golden import ensure_golden, golden_paths
 
+    from latyas_ray.ops.webtext import corpus_glob
+
     ensure_golden("sf0.001")
     gp, rp = golden_paths("sf0.001")
     gp01, rp01 = golden_paths("sf0.01")
     for name, sql in entry_mod.oracle_sql().items():
         sql = sql.replace(gp01, gp).replace(rp01, rp)
+        sql = sql.replace(corpus_glob("sf0.01"), corpus_glob("sf0.001"))
         try:
             con.execute("EXPLAIN " + sql)
         except Exception as exc:  # pragma: no cover - failure message only
