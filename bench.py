@@ -170,8 +170,9 @@ def run_bench() -> dict:
     from latyas_ray.pipelines.semantic_pipeline import semantic_reflow_dataset
 
     def _semantic_reflow(sf_dir_):
+        c = ensure_corpus_for_sf(sf_label_from_dir(sf_dir_))
         return semantic_reflow_dataset(
-            extract_dataset(read_pages(corpus), batch_size=32,
+            extract_dataset(read_pages(c), batch_size=32,
                             use_actors=True, concurrency=(1, 8))
         )
 

@@ -50,10 +50,18 @@ import ray.data as rd
 
 from ..corpus import ensure_corpus_for_sf, sf_label_from_dir
 
-# RE2-safe ASCII patterns, shared verbatim with the SQL oracles.
+# RE2-safe ASCII patterns, shared verbatim with the SQL oracles.  The
+# Python side MUST compile with re.ASCII: RE2's \b and \d are ASCII-only,
+# while Python's are Unicode-aware — for 'é192.0.2.1' Unicode re finds no
+# \b boundary (é is a word char) where RE2 does.
+import re as _re
+
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PHONE_RE = r"\+1-555-\d{4}"
+EMAIL_PAT = _re.compile(EMAIL_RE, _re.ASCII)
+IPV4_PAT = _re.compile(IPV4_RE, _re.ASCII)
+PHONE_PAT = _re.compile(PHONE_RE, _re.ASCII)
 
 
 def _read_corpus(sf_dir: str, columns: List[str]) -> rd.Dataset:
@@ -73,10 +81,14 @@ def corpus_glob(sf_label: str) -> str:
 
 def _host_section(urls: pd.Series) -> Tuple[pd.Series, pd.Series]:
     """Vectorized host / first-path-segment parse, pinned to DuckDB's
-    ``split_part`` semantics (missing delimiter → '')."""
-    rest = urls.str.partition("://")[2]
-    host = rest.str.partition("/")[0]
-    section = rest.str.partition("/")[2].str.partition("/")[0]
+    ``split_part`` semantics: split on EVERY delimiter occurrence and
+    take the field (missing field → '').  ``str.partition`` would differ
+    for urls embedding a second '://' in the path ('https://a/b://c':
+    split_part's rest is 'a/b', partition's is 'a/b://c')."""
+    rest = urls.str.split("://").str[1].fillna("")
+    segs = rest.str.split("/")
+    host = segs.str[0].fillna("")
+    section = segs.str[1].fillna("")
     return host, section
 
 
@@ -133,13 +145,16 @@ def domain_stats(sf_dir: str) -> pd.DataFrame:
              "nb": n_bytes.astype(np.int64), "nc": n_chars.astype(np.int64),
              "pdf": is_pdf.astype(np.int64)}
         )
-        return f.groupby(["host", "lang"], as_index=False).agg(
+        # dropna=False: a null lang must still count toward every per-host
+        # statistic (the SQL GROUP BY host keeps such rows; only
+        # count(DISTINCT lang) ignores the NULL, which nunique matches)
+        return f.groupby(["host", "lang"], as_index=False, dropna=False).agg(
             n_pages=("nb", "size"), n_pdf=("pdf", "sum"),
             sum_html_bytes=("nb", "sum"), sum_text_chars=("nc", "sum"),
         )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["host", "lang"], as_index=False).sum()
+        g = df.groupby(["host", "lang"], as_index=False, dropna=False).sum()
         return g.groupby("host", as_index=False).agg(
             n_pages=("n_pages", "sum"), n_pdf=("n_pdf", "sum"),
             n_langs=("lang", "nunique"),
@@ -170,12 +185,12 @@ def pii_scrub(sf_dir: str) -> rd.Dataset:
 
     def scrub(df: pd.DataFrame) -> pd.DataFrame:
         t = df["text"].fillna("")
-        n_emails = t.str.count(EMAIL_RE).astype(np.int64)
-        n_ipv4 = t.str.count(IPV4_RE).astype(np.int64)
-        n_phones = t.str.count(PHONE_RE).astype(np.int64)
-        s = t.str.replace(EMAIL_RE, "<EMAIL>", regex=True)
-        s = s.str.replace(IPV4_RE, "<IP>", regex=True)
-        s = s.str.replace(PHONE_RE, "<PHONE>", regex=True)
+        n_emails = t.str.count(EMAIL_PAT).astype(np.int64)
+        n_ipv4 = t.str.count(IPV4_PAT).astype(np.int64)
+        n_phones = t.str.count(PHONE_PAT).astype(np.int64)
+        s = t.str.replace(EMAIL_PAT, "<EMAIL>", regex=True)
+        s = s.str.replace(IPV4_PAT, "<IP>", regex=True)
+        s = s.str.replace(PHONE_PAT, "<PHONE>", regex=True)
         digests = [
             hashlib.md5(x.encode("utf-8")).hexdigest() for x in s.tolist()
         ]
@@ -259,8 +274,12 @@ def line_dedup(sf_dir: str, min_count: int = 2, min_urls: int = 0) -> rd.Dataset
     def reduce(g: pd.DataFrame) -> pd.DataFrame:
         # (line_md5, url) pairs are globally unique (a url's text sits in
         # exactly one input row), so n_urls is a plain row count.
+        # nunique, not size: if the pages table ever carries the same url
+        # on multiple rows (re-crawl snapshots), its (line_md5, url)
+        # partials can arrive once per batch — distinct-count matches the
+        # oracle's count(DISTINCT url) regardless of batching
         out = g.groupby("line_md5", as_index=False).agg(
-            n_urls=("url", "size"), n_total=("n", "sum")
+            n_urls=("url", "nunique"), n_total=("n", "sum")
         )
         out = out[out["n_total"] >= min_count]
         # min_urls filter applied INSIDE the reduce so consumers needing

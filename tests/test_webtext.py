@@ -9,8 +9,11 @@ import re
 import pandas as pd
 
 from latyas_ray.ops.webtext import (
+    EMAIL_PAT,
     EMAIL_RE,
+    IPV4_PAT,
     IPV4_RE,
+    PHONE_PAT,
     PHONE_RE,
     _host_section,
 )
@@ -26,6 +29,8 @@ def test_host_section_matches_split_part():
         "https://host.only",
         "https://h/",
         "",
+        "https://a/b://c",  # second '://' in the path: split_part splits
+        "x://y://z/w",      # on EVERY occurrence, not just the first
     ]
     host, section = _host_section(pd.Series(urls))
     con = duckdb.connect()
@@ -41,13 +46,31 @@ def test_host_section_matches_split_part():
 
 def test_pii_patterns():
     t = "mail a.b+c@x-y.org, ip 10.0.0.1, bad 10.0.0.1234, tel +1-555-0042"
-    assert len(re.findall(EMAIL_RE, t)) == 1
-    assert len(re.findall(IPV4_RE, t)) == 1  # the 4-digit tail breaks \b
-    assert len(re.findall(PHONE_RE, t)) == 1
-    s = re.sub(EMAIL_RE, "<EMAIL>", t)
-    s = re.sub(IPV4_RE, "<IP>", s)
-    s = re.sub(PHONE_RE, "<PHONE>", s)
+    assert len(EMAIL_PAT.findall(t)) == 1
+    assert len(IPV4_PAT.findall(t)) == 1  # the 4-digit tail breaks \b
+    assert len(PHONE_PAT.findall(t)) == 1
+    s = EMAIL_PAT.sub("<EMAIL>", t)
+    s = IPV4_PAT.sub("<IP>", s)
+    s = PHONE_PAT.sub("<PHONE>", s)
     assert s == "mail <EMAIL>, ip <IP>, bad 10.0.0.1234, tel <PHONE>"
+
+
+def test_pii_ascii_boundary_matches_re2():
+    """RE2's \\b is ASCII-only; the compiled patterns must match it even
+    when a Unicode word char abuts the number ('é192.0.2.1')."""
+    import duckdb
+
+    t = "é192.0.2.1 and ١@١.ab x9@y.zw"  # arabic-indic digits
+    got = IPV4_PAT.findall(t), EMAIL_PAT.findall(t)
+    con = duckdb.connect()
+    want = tuple(
+        con.execute(
+            "SELECT regexp_extract_all(?, ?)", [t, pat]
+        ).fetchone()[0]
+        for pat in (IPV4_RE, EMAIL_RE)
+    )
+    assert got[0] == want[0], f"ipv4 {got[0]} vs {want[0]}"
+    assert got[1] == want[1], f"email {got[1]} vs {want[1]}"
 
 
 def test_line_md5_matches_duckdb():
