@@ -368,3 +368,74 @@ def test_detections_to_regions_contract():
     eq = next(r for r in regions if r.kind == BlockKind.Equation)
     # merge keeps the union of the two overlapping isolated boxes
     assert eq.rect == (0.0, 0.0, 102.0, 42.0)
+
+
+# ---------------------------------------------------------------- A10/A11
+
+
+def test_tesseract_backend_contract():
+    """A10: missing binary dir is a constructor error (reference
+    tesseract_ocr_model.py:30-33); an injected runner needs no binary;
+    threshold is accepted-and-ignored (:48-50)."""
+    from latyas_ray.models.ocr_external import TesseractOCRModel
+
+    with pytest.raises(FileNotFoundError):
+        TesseractOCRModel(cmd_dir="/nonexistent/dir")
+    with pytest.raises(FileNotFoundError):
+        TesseractOCRModel()  # no dir, no runner
+
+    calls = []
+
+    def fake_runner(img):
+        calls.append(img)
+        return "line one\nline two"
+
+    m = TesseractOCRModel(runner=fake_runner)
+    assert m.recognize(b"crop", threshold=0.9) == "line one\nline two"
+    boxes = m.detect(b"crop")
+    assert [b.text for b in boxes] == ["line one", "line two"]
+    assert boxes[1].y1 == 16.0  # shared line-band convention
+    assert calls == [b"crop", b"crop"]
+
+
+def test_llm_backend_pads_small_ndarray_and_joins_lines():
+    """A11: crops under 400 px are padded before the client sees them
+    (llm_ocr_model.py:51-52); output is the newline join (:56)."""
+    import numpy as np
+
+    from latyas_ray.models.ocr_external import LLMOCRModel
+
+    seen = []
+
+    def client(img):
+        seen.append(np.asarray(img).shape if hasattr(img, "shape") else img)
+        return ["para one", "para two"]
+
+    m = LLMOCRModel(client=client)
+    small = np.full((30, 60), 128, dtype=np.uint8)
+    assert m.recognize(small) == "para one\npara two"
+    assert seen[0][0] >= 400 and seen[0][1] >= 400  # padded
+    big = np.full((420, 500), 128, dtype=np.uint8)
+    m.recognize(big)
+    assert seen[1] == (420, 500)  # untouched
+    # bytes payloads (synthetic channel) skip padding entirely
+    m.recognize(b"payload")
+    assert seen[2] == b"payload"
+
+
+def test_external_backends_route_through_registry():
+    """Both new backends are registry-routable and deterministic across
+    independent instances (actor restarts)."""
+    from latyas_ray.models.ocr_external import LLMOCRModel, TesseractOCRModel
+    from latyas_ray.models.ocr_protocol import default_registry
+
+    reg = default_registry(LLMOCRModel())
+    out = reg.recognize(BlockKind.Text, "sample text")
+    assert out.startswith("[llm:")
+    assert default_registry(LLMOCRModel()).recognize(
+        BlockKind.Text, "sample text") == out
+    assert out != default_registry(DigestOCRModel()).recognize(
+        BlockKind.Text, "sample text")
+
+    reg2 = default_registry(TesseractOCRModel(runner=lambda img: "T"))
+    assert reg2.recognize(BlockKind.Text, "sample text") == "T"
