@@ -159,6 +159,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_repetition": _webtext.line_repetition,
         "line_dedup": _webtext.line_dedup,
         "boilerplate_strip": _webtext.boilerplate_strip,
+        "gopher_quality": _webtext.gopher_quality,
+        "gopher_repetition": _webtext.gopher_repetition,
+        "c4_quality": _webtext.c4_quality,
         # dedup family
         "dedup_exact": _dedup.dedup_exact,
         "minhash_dedup": _oracled("minhash_dedup", _dedup.minhash_dedup),
@@ -272,6 +275,79 @@ def _shingle_cte(where: str = "") -> str:
         "WHEN len(words) < 3 THEN [array_to_string(words, ' ')] "
         "ELSE [array_to_string(words[i:i+2], ' ') "
         "FOR i IN range(1, len(words) - 1)] END) AS s FROM w)"
+    )
+
+
+def _gopher_repetition_sql() -> str:
+    """Independent n-gram recompute of ``gopher_repetition``: one
+    list-slice subquery chain per n (2–10) over the same parquet shards.
+    N-gram identity is tokens joined by chr(31) and its token chars are
+    ``length(key) - (n-1)`` — the exact pinned definitions of
+    ``ops/webtext.py``; every counter is CAST to BIGINT so the driver
+    hash compare is bit-exact."""
+    from latyas_ray.ops.webtext import (
+        GOPHER_DUP_NGRAM_CAPS,
+        GOPHER_TOP_NGRAM_CAPS,
+    )
+
+    # Linear construction: exploded (url, position, token) rows, then
+    # lead(w, k) windows — NEVER unnest-with-the-list-in-tow (a row per
+    # start position carrying the whole toks list is quadratic in doc
+    # length; the megabyte docs of the 'giant' family made that version
+    # effectively hang).  lead() is NULL only at the partition tail, so
+    # "last joined token IS NOT NULL" is exactly "window fits in doc",
+    # and '||' NULL-propagation keeps partial windows out of g{n}.
+    leads = ", ".join(
+        f"lead(w, {k}) OVER (PARTITION BY url ORDER BY i) AS w{k}"
+        for k in range(1, 10)
+    )
+    ctes = [
+        "d AS (SELECT url, coalesce(text, '') AS text "
+        f"FROM read_parquet('{_webtext.corpus_glob(_GOLDEN_SF)}'))",
+        "t AS (SELECT url, regexp_extract_all(text, '\\S+') AS toks FROM d)",
+        "wp AS MATERIALIZED (SELECT url, unnest(toks) AS w, "
+        "generate_subscripts(toks, 1) AS i FROM t)",
+        "wa AS (SELECT url, CAST(sum(length(w)) AS BIGINT) AS swc "
+        "FROM wp GROUP BY url)",
+        f"wo AS MATERIALIZED (SELECT url, w, {leads} FROM wp)",
+    ]
+    sel = ["d.url", "coalesce(wa.swc, 0) AS sum_word_chars"]
+    joins = ["LEFT JOIN wa USING (url)"]
+    rules = []
+    for n in range(2, 11):
+        col = f"top{n}_chars" if n <= 4 else f"dup{n}_chars"
+        agg = (
+            "max(c * nch)"
+            if n <= 4
+            else "sum(CASE WHEN c >= 2 THEN c * nch ELSE 0 END)"
+        )
+        ng = " || chr(31) || ".join(["w"] + [f"w{k}" for k in range(1, n)])
+        ctes.append(
+            f"g{n} AS (SELECT url, {ng} AS ng FROM wo "
+            f"WHERE w{n - 1} IS NOT NULL)"
+        )
+        ctes.append(
+            f"c{n} AS (SELECT url, ng, count(*) AS c, "
+            f"length(ng) - {n - 1} AS nch FROM g{n} GROUP BY url, ng)"
+        )
+        ctes.append(
+            f"a{n} AS (SELECT url, CAST({agg} AS BIGINT) AS v "
+            f"FROM c{n} GROUP BY url)"
+        )
+        sel.append(f"coalesce(a{n}.v, 0) AS {col}")
+        joins.append(f"LEFT JOIN a{n} USING (url)")
+        cap = (GOPHER_TOP_NGRAM_CAPS if n <= 4 else GOPHER_DUP_NGRAM_CAPS)[n]
+        rules.append(
+            f"100 * coalesce(a{n}.v, 0) <= {cap} * coalesce(wa.swc, 0)"
+        )
+    sel.append(
+        "CAST(CASE WHEN " + " AND ".join(rules)
+        + " THEN 1 ELSE 0 END AS BIGINT) AS passes_repetition"
+    )
+    return (
+        "WITH " + ", ".join(ctes)
+        + " SELECT " + ", ".join(sel)
+        + " FROM d " + " ".join(joins)
     )
 
 
@@ -583,6 +659,99 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(string_agg(CASE WHEN rm THEN NULL ELSE line END, "
             "chr(10) ORDER BY ord), '') AS clean FROM flagged GROUP BY url) "
             "SELECT url, n_removed, md5(clean) AS clean_md5 FROM agg"
+        ),
+        # gopher_quality: every counter is an exact integer and the pass
+        # flag pure integer arithmetic, so the independent SQL recompute
+        # is bit-exact (rule constants pinned in ops/webtext.py)
+        "gopher_quality": (
+            "WITH d AS (SELECT url, coalesce(text, '') AS text "
+            f"FROM read_parquet('{_webtext.corpus_glob(_GOLDEN_SF)}')), "
+            "w AS (SELECT url, unnest(regexp_extract_all(text, '\\S+')) AS w"
+            " FROM d), "
+            "wa AS (SELECT url, CAST(count(*) AS BIGINT) AS n_words, "
+            "CAST(sum(length(w)) AS BIGINT) AS sum_word_chars, "
+            "CAST(sum(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0"
+            " END) AS BIGINT) AS n_alpha_words, "
+            "CAST(sum(CASE WHEN w IN ('the','be','to','of','and','that',"
+            "'have','with') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_words "
+            "FROM w GROUP BY url), "
+            "l AS (SELECT url, unnest(string_split(text, chr(10))) AS line "
+            "FROM d), "
+            "la AS (SELECT url, CAST(count(*) FILTER (WHERE line <> '') "
+            "AS BIGINT) AS n_lines, "
+            "CAST(count(*) FILTER (WHERE line <> '' AND (line LIKE '- %' OR"
+            " line LIKE '* %' OR line LIKE '• %')) AS BIGINT) "
+            "AS n_bullet_lines, "
+            "CAST(count(*) FILTER (WHERE line <> '' AND line LIKE '%...') "
+            "AS BIGINT) AS n_ellipsis_lines FROM l GROUP BY url), "
+            "c AS (SELECT url, CAST(length(text) - length(replace(text, "
+            "'#', '')) AS BIGINT) AS n_hash, "
+            "CAST((length(text) - length(replace(text, '...', ''))) // 3 "
+            "AS BIGINT) AS n_ellipsis FROM d) "
+            "SELECT d.url, coalesce(wa.n_words, 0) AS n_words, "
+            "coalesce(wa.sum_word_chars, 0) AS sum_word_chars, "
+            "coalesce(wa.n_alpha_words, 0) AS n_alpha_words, "
+            "coalesce(wa.n_stop_words, 0) AS n_stop_words, "
+            "c.n_hash, c.n_ellipsis, coalesce(la.n_lines, 0) AS n_lines, "
+            "coalesce(la.n_bullet_lines, 0) AS n_bullet_lines, "
+            "coalesce(la.n_ellipsis_lines, 0) AS n_ellipsis_lines, "
+            "CAST(CASE WHEN coalesce(wa.n_words, 0) >= 50 "
+            "AND coalesce(wa.n_words, 0) <= 100000 "
+            "AND 3 * coalesce(wa.n_words, 0) <= coalesce(wa.sum_word_chars, 0) "
+            "AND coalesce(wa.sum_word_chars, 0) <= 10 * coalesce(wa.n_words, 0) "
+            "AND 10 * (c.n_hash + c.n_ellipsis) <= coalesce(wa.n_words, 0) "
+            "AND 10 * coalesce(la.n_bullet_lines, 0) <= "
+            "9 * coalesce(la.n_lines, 0) "
+            "AND 10 * coalesce(la.n_ellipsis_lines, 0) <= "
+            "3 * coalesce(la.n_lines, 0) "
+            "AND 5 * coalesce(wa.n_alpha_words, 0) >= "
+            "4 * coalesce(wa.n_words, 0) "
+            "AND coalesce(wa.n_stop_words, 0) >= 2 "
+            "THEN 1 ELSE 0 END AS BIGINT) AS passes_gopher "
+            "FROM d LEFT JOIN wa USING (url) LEFT JOIN la USING (url) "
+            "JOIN c USING (url)"
+        ),
+        # gopher_repetition: nine independent list-slice n-gram recomputes
+        # (construction shared via _gopher_repetition_sql — definitions
+        # pinned in ops/webtext.py, every counter an exact BIGINT)
+        "gopher_repetition": _gopher_repetition_sql(),
+        # c4_quality: line rules + page flags recomputed in SQL; kept-line
+        # reconstruction via string_agg(ORDER BY ord) FILTER, digests md5
+        "c4_quality": (
+            "WITH d AS (SELECT url, coalesce(text, '') AS text "
+            f"FROM read_parquet('{_webtext.corpus_glob(_GOLDEN_SF)}')), "
+            "l AS (SELECT url, unnest(string_split(text, chr(10))) AS line, "
+            "generate_subscripts(string_split(text, chr(10)), 1) AS ord "
+            "FROM d), "
+            "f AS (SELECT url, line, ord, (line <> '') AS ne, "
+            "regexp_matches(line, '[.!?\"]$') AS term, "
+            "len(regexp_extract_all(line, '\\S+')) < 3 AS short, "
+            "regexp_matches(line, '[Jj]ava[Ss]cript') AS js FROM l), "
+            "la AS (SELECT url, "
+            "CAST(count(*) FILTER (ne) AS BIGINT) AS n_lines, "
+            "CAST(count(*) FILTER (ne AND term) AS BIGINT) "
+            "AS n_terminal_lines, "
+            "CAST(count(*) FILTER (ne AND short) AS BIGINT) "
+            "AS n_short_lines, "
+            "CAST(count(*) FILTER (ne AND js) AS BIGINT) AS n_js_lines, "
+            "CAST(count(*) FILTER (ne AND term AND NOT short AND NOT js) "
+            "AS BIGINT) AS n_kept_lines, "
+            "md5(coalesce(string_agg(line, chr(10) ORDER BY ord) "
+            "FILTER (ne AND term AND NOT short AND NOT js), '')) "
+            "AS clean_md5 FROM f GROUP BY url), "
+            "c AS (SELECT url, CAST(len(regexp_extract_all(text, '[.!?]')) "
+            "AS BIGINT) AS n_sentences, "
+            "CAST(CASE WHEN regexp_matches(text, '[Ll]orem [Ii]psum') "
+            "THEN 1 ELSE 0 END AS BIGINT) AS has_lorem, "
+            "CAST(CASE WHEN contains(text, '{') THEN 1 ELSE 0 END "
+            "AS BIGINT) AS has_brace FROM d) "
+            "SELECT d.url, la.n_lines, la.n_terminal_lines, "
+            "la.n_short_lines, la.n_js_lines, la.n_kept_lines, "
+            "c.n_sentences, c.has_lorem, c.has_brace, la.clean_md5, "
+            "CAST(CASE WHEN c.has_lorem = 0 AND c.has_brace = 0 "
+            "AND c.n_sentences >= 5 AND la.n_kept_lines >= 1 "
+            "THEN 1 ELSE 0 END AS BIGINT) AS passes_c4 "
+            "FROM d JOIN la USING (url) JOIN c USING (url)"
         ),
         "lang_id": (
             "SELECT doc_id, lang_pred "

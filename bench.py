@@ -183,6 +183,9 @@ def run_bench() -> dict:
     op_fns["line_repetition"] = webtext.line_repetition
     op_fns["line_dedup"] = webtext.line_dedup
     op_fns["boilerplate_strip"] = webtext.boilerplate_strip
+    op_fns["gopher_quality"] = webtext.gopher_quality
+    op_fns["gopher_repetition"] = webtext.gopher_repetition
+    op_fns["c4_quality"] = webtext.c4_quality
     if skip_queries:
         op_fns = {}
     for name, fn in op_fns.items():

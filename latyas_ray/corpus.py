@@ -33,11 +33,19 @@ import pyarrow.parquet as pq
 from .extract import extract_one
 from .pdf_extract import PDF_MAGIC
 
-CORPUS_VERSION = "latyas-corpus/4"  # /2: pdf_real family (genuine PDF
+CORPUS_VERSION = "latyas-corpus/6"  # /2: pdf_real family (genuine PDF
 # bytes); /3: HTML breadth — rowspan/colspan tables, <dl>, <pre>,
 # entity-heavy boilerplate pages; /4: deterministic PII (contact line
 # with email / ipv4 / phone on every third site) so the webtext
-# pii_scrub op has real material in the text channel
+# pii_scrub op has real material in the text channel; /5: Gopher-rule
+# material — en sentences weave in function words (stop-word rule),
+# latin sentences occasionally end '...' (ellipsis rules), <pre>
+# comments sometimes use '#' (symbol rule) — so gopher_quality's pass
+# flag discriminates instead of failing every document; /6: C4-rule
+# material — rare 'Lorem ipsum…' filler paragraphs, 'Please enable
+# JavaScript…' no-script boilerplate leaking into main content, and
+# brace-heavy JS lines in <pre> blocks, the three page-level artifacts
+# the c4_quality op flags on real Common Crawl
 EPOCH_2024_US = 1704067200 * 1_000_000  # 2024-01-01T00:00:00Z in microseconds
 
 PAGES_SCHEMA = pa.schema(
@@ -98,12 +106,24 @@ def _rng(doc_id: int, salt: str = "") -> random.Random:
     return random.Random(f"{CORPUS_VERSION}:{salt}:{doc_id}")
 
 
+# English function words woven into en sentences (corpus /5) — the same
+# set the gopher_quality stop-word rule counts, so English documents of
+# sufficient length pass while the rule stays discriminative for the rest.
+_EN_FUNCTION_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
 def _sentence(rng: random.Random, lang: str, n_words: int) -> str:
     if lang == "zh":
         return "".join(rng.choice(_ZH_CHARS) for _ in range(n_words * 2)) + "。"
     words = _WORDS.get(lang, _WORDS["en"])
-    s = " ".join(rng.choice(words) for _ in range(n_words))
-    return s[0].upper() + s[1:] + "."
+    toks = []
+    for _ in range(n_words):
+        if lang == "en" and rng.random() < 0.35:
+            toks.append(rng.choice(_EN_FUNCTION_WORDS))
+        toks.append(rng.choice(words))
+    s = " ".join(toks)
+    tail = "..." if rng.random() < 0.08 else "."
+    return s[0].upper() + s[1:] + tail
 
 
 def _paragraph(rng: random.Random, lang: str, n_sentences: int) -> str:
@@ -154,13 +174,31 @@ def _html_plain(rng, site, lang):
         f"<p>{_paragraph(rng, lang, rng.randint(2, 5))}</p>"
         for _ in range(rng.randint(3, 8))
     )
-    if rng.random() < 0.25:  # <pre> block: interior whitespace is content
-        code = "\n".join(
-            "    " * rng.randint(0, 2)
-            + f"let v{i} = {rng.randint(0, 99)};  // note"
-            for i in range(rng.randint(2, 6))
+    if rng.random() < 0.06:  # C4 material: classic unfilled-template filler
+        paras = (
+            "<p>Lorem ipsum dolor sit amet, consectetur adipiscing elit, "
+            "sed do eiusmod tempor incididunt.</p>" + paras
         )
-        paras += f"<pre>\n{code}\n</pre>"
+    if rng.random() < 0.07:  # C4 material: no-script boilerplate in content
+        paras += (
+            "<p>Please enable JavaScript to view the comments powered by "
+            f"site{site}.example.</p>"
+        )
+    if rng.random() < 0.25:  # <pre> block: interior whitespace is content
+        lines = []
+        for i in range(rng.randint(2, 6)):
+            indent = "    " * rng.randint(0, 2)
+            if rng.random() < 0.30:  # brace-heavy JS (C4 curly-brace rule)
+                lines.append(
+                    indent + f"function f{i}() {{ return {rng.randint(0, 99)}; }}"
+                )
+            else:
+                lines.append(
+                    indent
+                    + f"let v{i} = {rng.randint(0, 99)};  "
+                    + rng.choice(("// note", "# note"))
+                )
+        paras += "<pre>\n" + "\n".join(lines) + "\n</pre>"
     body = (
         _header(site) + _nav(rng, site)
         + f"<main><article><h1>{title}</h1>{paras}</article></main>"

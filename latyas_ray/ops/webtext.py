@@ -49,6 +49,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..corpus import ensure_corpus_for_sf, sf_label_from_dir
+from .common import TOKEN_RE, ascii_token_lists
 
 # RE2-safe ASCII patterns, shared verbatim with the SQL oracles.  The
 # Python side MUST compile with re.ASCII: RE2's \b and \d are ASCII-only,
@@ -350,3 +351,302 @@ def boilerplate_strip(sf_dir: str, min_urls: int = 10) -> rd.Dataset:
         )
 
     return ds.map_batches(strip, batch_format="pandas", batch_size=2048)
+
+
+# -------------------------------------------------------- gopher_quality
+
+# Gopher rule constants (Rae et al. 2021, table A1) — pinned once, shared
+# with the SQL oracle via the integer-comparison forms below.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_BULLET_PREFIXES = ("- ", "* ", "• ")
+
+
+def gopher_quality(sf_dir: str) -> rd.Dataset:
+    """Gopher-style document quality signals + pass flag, map-only.
+
+    Emits one row per url with EXACT INTEGER counters (the
+    ``line_repetition`` convention — ratios are the consumer's division)
+    and ``passes_gopher``, the conjunction of the Gopher repetition-free
+    rules, evaluated in pure integer arithmetic so the SQL oracle is
+    bit-exact:
+
+    - 50 ≤ n_words ≤ 100000
+    - mean word length in [3, 10]:  3·n_words ≤ sum_word_chars ≤ 10·n_words
+    - symbol-to-word ratio ≤ 0.1:   10·(n_hash + n_ellipsis) ≤ n_words
+    - bullet-start lines ≤ 90 %:    10·n_bullet_lines ≤ 9·n_lines
+    - ellipsis-end lines ≤ 30 %:    10·n_ellipsis_lines ≤ 3·n_lines
+    - words with an alpha char ≥ 80 %: 5·n_alpha_words ≥ 4·n_words
+    - ≥ 2 stop words (exact lowercase match — no case folding, which
+      Python and DuckDB disagree on outside ASCII)
+
+    Words use the pinned ASCII tokenizer (``ops/common.py`` TOKEN_RE ≡
+    RE2 ``\\S+``); lines are the pinned literal-``\\n`` split with empty
+    lines excluded; ``n_ellipsis`` counts non-overlapping ``'...'``
+    left-to-right (Python ``str.count`` ≡ SQL replace-length // 3).
+    Per-document signals over single-row documents → zero shuffle.
+    """
+    ds = _read_corpus(sf_dir, ["url", "text"])
+
+    def sig(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("").reset_index(drop=True)
+        n = len(t)
+        idx = range(n)
+
+        def persum(series: pd.Series) -> np.ndarray:
+            """Sum an exploded per-token/per-line series back to row
+            position (level-0 index), 0 for rows with no elements."""
+            if not len(series):
+                return np.zeros(n, dtype=np.int64)
+            s = series.groupby(level=0).sum()
+            return s.reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
+
+        words = ascii_token_lists(t)
+        n_words = words.map(len).to_numpy(dtype=np.int64)
+        ex = words.explode().dropna()
+        sum_word_chars = persum(ex.str.len())
+        n_alpha_words = persum(
+            ex.str.contains("[A-Za-z]", regex=True).astype(np.int64))
+        n_stop_words = persum(ex.isin(GOPHER_STOPWORDS).astype(np.int64))
+
+        n_hash = t.str.count("#").to_numpy(dtype=np.int64)
+        n_ellipsis = (
+            (t.str.len() - t.str.replace("...", "", regex=False).str.len())
+            // 3
+        ).to_numpy(dtype=np.int64)
+
+        lx = t.str.split("\n").explode()
+        ne = lx != ""
+        n_lines = persum(ne.astype(np.int64))
+        bullet = ne & lx.str.startswith(GOPHER_BULLET_PREFIXES)
+        n_bullet_lines = persum(bullet.astype(np.int64))
+        eend = ne & lx.str.endswith("...")
+        n_ellipsis_lines = persum(eend.astype(np.int64))
+
+        passes = (
+            (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+            & (3 * n_words <= sum_word_chars)
+            & (sum_word_chars <= 10 * n_words)
+            & (10 * (n_hash + n_ellipsis) <= n_words)
+            & (10 * n_bullet_lines <= 9 * n_lines)
+            & (10 * n_ellipsis_lines <= 3 * n_lines)
+            & (5 * n_alpha_words >= 4 * n_words)
+            & (n_stop_words >= 2)
+        )
+        return pd.DataFrame(
+            {"url": df["url"].reset_index(drop=True),
+             "n_words": n_words, "sum_word_chars": sum_word_chars,
+             "n_alpha_words": n_alpha_words, "n_stop_words": n_stop_words,
+             "n_hash": n_hash, "n_ellipsis": n_ellipsis,
+             "n_lines": n_lines, "n_bullet_lines": n_bullet_lines,
+             "n_ellipsis_lines": n_ellipsis_lines,
+             "passes_gopher": passes.astype(np.int64)}
+        )
+
+    return ds.map_batches(sig, batch_format="pandas", batch_size=2048)
+
+
+# ----------------------------------------------------- gopher_repetition
+
+# Gopher repetition-rule thresholds (Rae et al. 2021, table A1), as
+# percent caps on the char fraction: 100·signal ≤ cap·total_chars.
+GOPHER_TOP_NGRAM_CAPS = {2: 20, 3: 18, 4: 16}
+GOPHER_DUP_NGRAM_CAPS = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+# Joiner for n-gram keys: any non-whitespace byte works identically on
+# both sides (tokens are \S+ so they can't contain it matters only for
+# collision behavior, which is pinned by construction); 0x1F (unit
+# separator) never occurs in the corpus.
+NGRAM_SEP = "\x1f"
+
+
+def gopher_repetition(sf_dir: str) -> rd.Dataset:
+    """Gopher n-gram repetition signals + pass flag, map-only.
+
+    Per url, EXACT INTEGER counters over the pinned ASCII tokens:
+
+    - ``sum_word_chars`` — total token chars (the fraction denominator);
+    - ``top{2,3,4}_chars`` — max over n-grams of
+      ``count × n-gram-token-chars``.  PINNED definition: the maximum of
+      the count×chars product (not "chars of the argmax-by-count"),
+      which is tie-free and exactly SQL-expressible as ``max(c*nch)``;
+      n-grams with count 1 participate (their product is just their own
+      length).
+    - ``dup{5..10}_chars`` — sum over n-grams with count ≥ 2 of
+      ``count × n-gram-token-chars``.  PINNED convention: overlapping
+      occurrences each contribute (an upper bound on "chars inside a
+      duplicated n-gram" that needs no interval union).
+    - ``passes_repetition`` — the conjunction of the nine Gopher caps in
+      pure integer arithmetic, ``100·signal ≤ cap·sum_word_chars``
+      (top2 ≤ 0.20 … dup10 ≤ 0.10).  A doc with zero tokens passes
+      trivially (0 ≤ 0); word-count floors are ``gopher_quality``'s job.
+
+    N-gram identity is the token SEQUENCE (the SQL oracle realizes it as
+    tokens joined by chr(31)); its token chars exclude separators.  One
+    document per row → zero shuffle; the nine passes never build key
+    strings — each extends integer n-gram ids by one token via
+    ``factorize((prev_id, next_token_id))`` (exact, collision-free), with
+    window char sums off one prefix-sum array.  The string-key version of
+    this kernel measured 40 s per 1,000 docs; this one ~1 s.
+    """
+    ds = _read_corpus(sf_dir, ["url", "text"])
+
+    def sig(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("").reset_index(drop=True)
+        n_rows = len(t)
+
+        words = ascii_token_lists(t)
+        n_tok = words.map(len).to_numpy(dtype=np.int64)
+        total_toks = int(n_tok.sum())
+        out = {"url": df["url"].reset_index(drop=True)}
+
+        if total_toks == 0:
+            zero = np.zeros(n_rows, dtype=np.int64)
+            out["sum_word_chars"] = zero
+            for n in range(2, 11):
+                out[f"top{n}_chars" if n <= 4 else f"dup{n}_chars"] = zero
+            out["passes_repetition"] = np.ones(n_rows, dtype=np.int64)
+            return pd.DataFrame(out)
+
+        doc = np.repeat(np.arange(n_rows, dtype=np.int64), n_tok)
+        flat = words.explode().dropna()
+        tok_id, uniq = pd.factorize(flat.to_numpy(), sort=False)
+        tok_id = tok_id.astype(np.int64)
+        ulen = np.fromiter((len(u) for u in uniq), np.int64, count=len(uniq))
+        lens = ulen[tok_id]
+        cs = np.concatenate(([0], np.cumsum(lens)))  # prefix char sums
+        starts = np.concatenate(([0], np.cumsum(n_tok)))
+        pos_in_doc = np.arange(total_toks, dtype=np.int64) - starts[doc]
+        doc_len = n_tok[doc]
+        total = np.bincount(doc, weights=lens, minlength=n_rows).astype(
+            np.int64
+        )
+        out["sum_word_chars"] = total
+
+        pos = np.arange(total_toks, dtype=np.int64)  # n-gram start positions
+        cur = tok_id  # integer id of the n-gram starting at each pos
+        for n in range(2, 11):
+            colname = f"top{n}_chars" if n <= 4 else f"dup{n}_chars"
+            keep = pos_in_doc[pos] <= doc_len[pos] - n  # window stays in doc
+            pos, cur = pos[keep], cur[keep]
+            col = np.zeros(n_rows, dtype=np.int64)
+            if len(pos):
+                nxt = tok_id[pos + (n - 1)]
+                cur, _ = pd.factorize(
+                    cur * np.int64(len(uniq) + 1) + nxt, sort=False
+                )
+                cur = cur.astype(np.int64)
+                nch = cs[pos + n] - cs[pos]
+                dpos = doc[pos]
+                key = cur * np.int64(n_rows) + dpos
+                _, first, cnts = np.unique(
+                    key, return_index=True, return_counts=True
+                )
+                prod = cnts.astype(np.int64) * nch[first]
+                udoc = dpos[first]
+                if n <= 4:
+                    np.maximum.at(col, udoc, prod)
+                else:
+                    m = cnts >= 2
+                    np.add.at(col, udoc[m], prod[m])
+            out[colname] = col
+
+        passes = np.ones(n_rows, dtype=bool)
+        for n, cap in GOPHER_TOP_NGRAM_CAPS.items():
+            passes &= 100 * out[f"top{n}_chars"] <= cap * total
+        for n, cap in GOPHER_DUP_NGRAM_CAPS.items():
+            passes &= 100 * out[f"dup{n}_chars"] <= cap * total
+        out["passes_repetition"] = passes.astype(np.int64)
+        return pd.DataFrame(out)
+
+    return ds.map_batches(sig, batch_format="pandas", batch_size=512)
+
+
+# ------------------------------------------------------------ c4_quality
+
+# RE2-safe case-insensitive literals (explicit classes, NOT lower():
+# Python str.lower() and DuckDB lower() disagree outside ASCII, so the
+# pinned form avoids case folding entirely).
+C4_JS_RE = r"[Jj]ava[Ss]cript"
+C4_LOREM_RE = r"[Ll]orem [Ii]psum"
+C4_TERMINAL = (".", "!", "?", '"')
+C4_MIN_LINE_WORDS = 3
+C4_MIN_SENTENCES = 5
+
+
+def c4_quality(sf_dir: str) -> rd.Dataset:
+    """C4-style page cleaning (Raffel et al. 2020 §2.2), map-only.
+
+    Line rules (over the pinned literal-``\\n`` split, empty lines
+    excluded): keep a line iff it ends in terminal punctuation
+    (``. ! ? "``), has ≥ 3 pinned-ASCII tokens, and does not mention
+    javascript (case-class regex, no ``lower()``).  Page rules: flag
+    pages containing the "lorem ipsum" placeholder or a ``{``.
+
+    Emits per url: exact integer counters (``n_lines``,
+    ``n_terminal_lines``, ``n_short_lines``, ``n_js_lines``,
+    ``n_kept_lines``, ``n_sentences`` — terminal-punct chars ``[.!?]``
+    in the original text — ``has_lorem``, ``has_brace``), the kept-line
+    reconstruction digest ``clean_md5`` (kept lines joined by ``\\n``;
+    md5 of '' when nothing survives), and ``passes_c4`` = no lorem, no
+    brace, ≥ 5 sentences, ≥ 1 kept line — all integer arithmetic, so
+    the SQL oracle recompute is bit-exact.
+    """
+    ds = _read_corpus(sf_dir, ["url", "text"])
+    js_pat = _re.compile(C4_JS_RE)
+    lorem_pat = _re.compile(C4_LOREM_RE)
+
+    def sig(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("").reset_index(drop=True)
+        n = len(t)
+        idx = range(n)
+
+        def persum(mask: pd.Series) -> np.ndarray:
+            if not len(mask):
+                return np.zeros(n, dtype=np.int64)
+            s = mask.astype(np.int64).groupby(level=0).sum()
+            return s.reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
+
+        lx = t.str.split("\n").explode()
+        ne = lx != ""
+        n_lines = persum(ne)
+        terminal = ne & lx.str.endswith(C4_TERMINAL)
+        n_terminal = persum(terminal)
+        n_words_line = lx.str.count(TOKEN_RE)
+        short = ne & (n_words_line < C4_MIN_LINE_WORDS)
+        n_short = persum(short)
+        js = ne & lx.str.contains(C4_JS_RE, regex=True)
+        n_js = persum(js)
+        kept = terminal & ~short & ~js
+        n_kept = persum(kept)
+
+        # per-doc joined digest: group kept lines, preserve order (explode
+        # preserves intra-list order within each level-0 index)
+        joined = (
+            lx[kept].groupby(level=0).agg("\n".join)
+            .reindex(idx, fill_value="")
+        )
+        clean_md5 = joined.map(
+            lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()
+        )
+
+        n_sentences = t.str.count(r"[.!?]").to_numpy(dtype=np.int64)
+        has_lorem = t.str.contains(C4_LOREM_RE, regex=True)
+        has_brace = t.str.contains("{", regex=False)
+
+        passes = (
+            ~has_lorem.to_numpy() & ~has_brace.to_numpy()
+            & (n_sentences >= C4_MIN_SENTENCES) & (n_kept >= 1)
+        )
+        return pd.DataFrame(
+            {"url": df["url"].reset_index(drop=True),
+             "n_lines": n_lines, "n_terminal_lines": n_terminal,
+             "n_short_lines": n_short, "n_js_lines": n_js,
+             "n_kept_lines": n_kept, "n_sentences": n_sentences,
+             "has_lorem": has_lorem.to_numpy().astype(np.int64),
+             "has_brace": has_brace.to_numpy().astype(np.int64),
+             "clean_md5": clean_md5.to_numpy(),
+             "passes_c4": passes.astype(np.int64)}
+        )
+
+    return ds.map_batches(sig, batch_format="pandas", batch_size=2048)

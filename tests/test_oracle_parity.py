@@ -89,7 +89,8 @@ OPS_QUERIES = [
     "semantic_reflow",
     # web-corpus curation (independent SQL over the corpus shards)
     "latest_snapshot", "domain_stats", "pii_scrub", "line_repetition",
-    "line_dedup", "boilerplate_strip",
+    "line_dedup", "boilerplate_strip", "gopher_quality",
+    "gopher_repetition", "c4_quality",
 ]
 
 

@@ -94,3 +94,79 @@ def test_corpus_carries_pii_material():
         if row["text"] and re.search(EMAIL_RE, row["text"]):
             hits += 1
     assert hits > 5
+
+
+def test_gopher_quality_kernel_semantics(ray_session):
+    """Edge semantics of the Gopher counters on a crafted corpus batch:
+    non-overlapping '...' counting, bullet/ellipsis line accounting over
+    non-empty lines only, exact-match stop words, and the integer-only
+    pass flag."""
+    import numpy as np
+    import ray.data as rd
+
+    from latyas_ray.ops import webtext as w
+
+    docs = {
+        # 60 words incl stopwords, clean → passes
+        "u_pass": ("the cat and the dog sat with the bird that came "
+                   "to rest of all small birds here now " * 3).strip(),
+        # ellipsis edge: '....' is ONE non-overlapping '...' match
+        "u_ellipsis": "wait....\nmore...\n\nplain line",
+        # bullets and a '#' symbol
+        "u_bullets": "- one\n* two\n• three\nnot a bullet\n# heading",
+        "u_empty": "",
+        # words but zero stopwords → fails the stop-word rule
+        "u_nostop": "alpha beta gamma " * 30,
+    }
+    df_in = {"url": list(docs), "text": list(docs.values())}
+
+    import pandas as pd
+
+    out = None
+    # run the map_batches kernel through Ray on an in-memory dataset
+    ds = rd.from_pandas(pd.DataFrame(df_in))
+    import latyas_ray.ops.webtext as wt
+
+    # reuse the op's inner kernel via a tiny shim: call gopher_quality's
+    # batch function by monkey-free route — build the same pipeline on the
+    # in-memory ds by copying the op body is overkill; instead just call
+    # the public op on a temp corpus-like parquet
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(pa.table({"url": df_in["url"], "text": df_in["text"]}),
+                       os.path.join(td, "pages-00000.parquet"))
+        base = rd.read_parquet(os.path.join(td, "pages-00000.parquet"))
+        # drive the same kernel the op uses by temporarily pointing
+        # _read_corpus at the temp table
+        orig = wt._read_corpus
+        wt._read_corpus = lambda sf_dir, columns: base.select_columns(columns)
+        try:
+            out = wt.gopher_quality(td).to_pandas()
+        finally:
+            wt._read_corpus = orig
+
+    out = out.set_index("url")
+    assert out.loc["u_pass", "passes_gopher"] == 1
+    assert out.loc["u_pass", "n_stop_words"] >= 2
+
+    e = out.loc["u_ellipsis"]
+    assert e["n_ellipsis"] == 2          # '....' → one match, 'more...' → one
+    assert e["n_lines"] == 3             # empty line excluded
+    assert e["n_ellipsis_lines"] == 2    # both '...'-ended lines count
+    assert e["passes_gopher"] == 0       # too few words
+
+    b = out.loc["u_bullets"]
+    assert b["n_bullet_lines"] == 3 and b["n_lines"] == 5
+    assert b["n_hash"] == 1
+
+    z = out.loc["u_empty"]
+    assert z["n_words"] == 0 and z["n_lines"] == 0 and z["passes_gopher"] == 0
+
+    ns = out.loc["u_nostop"]
+    assert ns["n_words"] == 90 and ns["n_stop_words"] == 0
+    assert ns["passes_gopher"] == 0
