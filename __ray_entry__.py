@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": _webtext.gopher_quality,
         "gopher_repetition": _webtext.gopher_repetition,
         "c4_quality": _webtext.c4_quality,
+        "dup_span_census": _webtext.dup_span_census,
         # dedup family
         "dedup_exact": _dedup.dedup_exact,
         "minhash_dedup": _oracled("minhash_dedup", _dedup.minhash_dedup),
@@ -348,6 +349,34 @@ def _gopher_repetition_sql() -> str:
         "WITH " + ", ".join(ctes)
         + " SELECT " + ", ".join(sel)
         + " FROM d " + " ".join(joins)
+    )
+
+
+def _dup_span_sql(w: int = 10, min_urls: int = 2) -> str:
+    """Independent recompute of ``dup_span_census``: the same linear
+    lead()-window construction as ``_gopher_repetition_sql`` (one window
+    per token position, NULL-propagating '||' keeps partial windows out),
+    but the window identity is ``md5`` of the chr(31)-joined tokens —
+    matching the op's PUBLIC key, not its internal cheap-hash prefilter,
+    so the two sides share only the pinned tokenizer + join + md5."""
+    leads = ", ".join(
+        f"lead(w, {k}) OVER (PARTITION BY url ORDER BY i) AS w{k}"
+        for k in range(1, w)
+    )
+    ng = " || chr(31) || ".join(["w"] + [f"w{k}" for k in range(1, w)])
+    return (
+        "WITH d AS (SELECT url, coalesce(text, '') AS text "
+        f"FROM read_parquet('{_webtext.corpus_glob(_GOLDEN_SF)}')), "
+        "t AS (SELECT url, regexp_extract_all(text, '\\S+') AS toks FROM d), "
+        "wp AS (SELECT url, unnest(toks) AS w, "
+        "generate_subscripts(toks, 1) AS i FROM t), "
+        f"wo AS (SELECT url, w, {leads} FROM wp), "
+        f"gm AS (SELECT url, md5({ng}) AS span_md5 FROM wo "
+        f"WHERE w{w - 1} IS NOT NULL), "
+        "c AS (SELECT span_md5, CAST(count(DISTINCT url) AS BIGINT) "
+        "AS n_urls, CAST(count(*) AS BIGINT) AS n_total "
+        "FROM gm GROUP BY span_md5) "
+        f"SELECT span_md5, n_urls, n_total FROM c WHERE n_urls >= {min_urls}"
     )
 
 
@@ -715,6 +744,9 @@ def oracle_sql() -> dict[str, str]:
         # (construction shared via _gopher_repetition_sql — definitions
         # pinned in ops/webtext.py, every counter an exact BIGINT)
         "gopher_repetition": _gopher_repetition_sql(),
+        # dup_span_census: full lead-window md5 recompute — no prefilter,
+        # so the oracle is blind to the op's cheap-hash candidacy pass
+        "dup_span_census": _dup_span_sql(),
         # c4_quality: line rules + page flags recomputed in SQL; kept-line
         # reconstruction via string_agg(ORDER BY ord) FILTER, digests md5
         "c4_quality": (

@@ -186,6 +186,7 @@ def run_bench() -> dict:
     op_fns["gopher_quality"] = webtext.gopher_quality
     op_fns["gopher_repetition"] = webtext.gopher_repetition
     op_fns["c4_quality"] = webtext.c4_quality
+    op_fns["dup_span_census"] = webtext.dup_span_census
     if skip_queries:
         op_fns = {}
     for name, fn in op_fns.items():

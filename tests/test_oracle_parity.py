@@ -90,7 +90,7 @@ OPS_QUERIES = [
     # web-corpus curation (independent SQL over the corpus shards)
     "latest_snapshot", "domain_stats", "pii_scrub", "line_repetition",
     "line_dedup", "boilerplate_strip", "gopher_quality",
-    "gopher_repetition", "c4_quality",
+    "gopher_repetition", "c4_quality", "dup_span_census",
 ]
 
 

@@ -170,3 +170,49 @@ def test_gopher_quality_kernel_semantics(ray_session):
     ns = out.loc["u_nostop"]
     assert ns["n_words"] == 90 and ns["n_stop_words"] == 0
     assert ns["passes_gopher"] == 0
+
+
+def test_dup_span_census_kernel_semantics(ray_session):
+    """dup_span_census on a crafted corpus: spans shared across docs are
+    found with exact (n_urls, n_total); windows never cross document
+    boundaries; same-doc-only repeats are excluded by min_urls."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import latyas_ray.ops.webtext as wt
+
+    span = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"  # exactly W=10 tokens
+    docs = {
+        # the span appears once in a and twice in b -> n_urls=2, n_total=3
+        "u_a": f"xx {span} yy",
+        "u_b": f"{span} zz {span}",
+        # same 10 tokens split across a would-be boundary: doc too short
+        "u_short": "w0 w1 w2 w3 w4",
+        # repeats only within ONE doc -> excluded by min_urls=2
+        "u_selfrep": "s0 s1 s2 s3 s4 s5 s6 s7 s8 s9 pad s0 s1 s2 s3 s4 s5 s6 s7 s8 s9",
+        "u_empty": "",
+    }
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(
+            pa.table({"url": list(docs), "text": list(docs.values())}),
+            os.path.join(td, "pages-00000.parquet"),
+        )
+        base = rd.read_parquet(os.path.join(td, "pages-00000.parquet"))
+        orig = wt._read_corpus
+        wt._read_corpus = lambda sf_dir, columns: base.select_columns(columns)
+        try:
+            out = wt.dup_span_census(td).to_pandas()
+        finally:
+            wt._read_corpus = orig
+
+    expect_md5 = hashlib.md5(
+        wt.NGRAM_SEP.join(span.split()).encode()
+    ).hexdigest()
+    assert list(out["span_md5"]) == [expect_md5]
+    assert out.loc[0, "n_urls"] == 2 and out.loc[0, "n_total"] == 3
