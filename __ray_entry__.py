@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_repetition": _webtext.gopher_repetition,
         "c4_quality": _webtext.c4_quality,
         "dup_span_census": _webtext.dup_span_census,
+        "quality_funnel": _webtext.quality_funnel,
         # dedup family
         "dedup_exact": _dedup.dedup_exact,
         "minhash_dedup": _oracled("minhash_dedup", _dedup.minhash_dedup),
@@ -190,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _events.sessionize,
         "events_top_users_by_value": _events.events_top_users_by_value,
         "events_props_rollup": _events.events_props_rollup,
+        "attribution_asof": _events.attribution_asof,
         # relational patterns (partial agg, broadcast join)
         "lineitem_pricing_summary": _relational.lineitem_pricing_summary,
         "orders_by_nation": _relational.orders_by_nation,
@@ -382,7 +384,7 @@ def _dup_span_sql(w: int = 10, min_urls: int = 2) -> str:
 
 def oracle_sql() -> dict[str, str]:
     golden, golden_regions = golden_paths(_GOLDEN_SF)
-    return {
+    oracles = {
         "extract_pipeline": (
             "SELECT url, payload_kind, text_source, n_regions, extracted_text, "
             f"checksum FROM read_parquet('{golden}')"
@@ -488,6 +490,23 @@ def oracle_sql() -> dict[str, str]:
             "to_timestamp(floor(epoch(ts)/1800)*1800), "
             "to_timestamp(floor(epoch(ts)/1800)*1800 - 1800)]) AS t(u) "
             "GROUP BY event_type, u"
+        ),
+        # attribution_asof: running-max window recompute — the click side
+        # contributes NULL on purchase rows, so max() over the (ts,
+        # event_id)-ordered frame is exactly "latest click at or before"
+        "attribution_asof": (
+            "WITH e AS (SELECT event_id, user_id, ts, event_type "
+            "FROM events WHERE event_type IN ('click', 'purchase')), "
+            "w AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
+            "event_type, "
+            "max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c "
+            "FROM e) "
+            "SELECT event_id, user_id, ts_us, "
+            "CAST(coalesce(c, -1) AS BIGINT) AS click_ts_us, "
+            "CAST(CASE WHEN c IS NULL THEN -1 ELSE ts_us - c END AS BIGINT) "
+            "AS gap_us FROM w WHERE event_type = 'purchase'"
         ),
         "sessionize": (
             "WITH d AS (SELECT user_id, ts, "
@@ -849,3 +868,15 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{oracle_path(_GOLDEN_SF, 'video_frame_features')}')"
         ),
     }
+    # quality_funnel: the three rule batteries re-derived independently
+    # (each subquery is that op's own oracle construction) and joined on
+    # url — verifies the funnel's single-pass composition end-to-end
+    oracles["quality_funnel"] = (
+        "SELECT a.url, a.passes_gopher, b.passes_repetition, c.passes_c4, "
+        "CAST(a.passes_gopher * b.passes_repetition * c.passes_c4 "
+        "AS BIGINT) AS keep "
+        f"FROM ({oracles['gopher_quality']}) a "
+        f"JOIN ({oracles['gopher_repetition']}) b USING (url) "
+        f"JOIN ({oracles['c4_quality']}) c USING (url)"
+    )
+    return oracles

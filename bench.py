@@ -151,6 +151,7 @@ def run_bench() -> dict:
         "sessionize": events.sessionize,
         "events_top_users_by_value": events.events_top_users_by_value,
         "events_props_rollup": events.events_props_rollup,
+        "attribution_asof": events.attribution_asof,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
         "orders_by_nation": relational.orders_by_nation,
         "top_suppliers_by_revenue": relational.top_suppliers_by_revenue,
@@ -187,6 +188,7 @@ def run_bench() -> dict:
     op_fns["gopher_repetition"] = webtext.gopher_repetition
     op_fns["c4_quality"] = webtext.c4_quality
     op_fns["dup_span_census"] = webtext.dup_span_census
+    op_fns["quality_funnel"] = webtext.quality_funnel
     if skip_queries:
         op_fns = {}
     for name, fn in op_fns.items():

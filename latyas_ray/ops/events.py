@@ -220,3 +220,63 @@ def events_props_rollup(sf_dir: str) -> pd.DataFrame:
     )
     return out.astype({"n_events": "int64", "sum_k": "int64",
                        "min_k": "int64", "max_k": "int64"})
+
+
+def attribution_asof(sf_dir: str) -> pd.DataFrame:
+    """As-of join (marketing attribution): for every ``purchase`` event,
+    the same user's latest ``click`` at or before it — (event_id,
+    user_id, ts_us, click_ts_us, gap_us), with ``-1`` for never-clicked
+    (all-BIGINT output keeps the oracle compare bit-exact; no nullable
+    timestamps cross the hash).
+
+    Ray Data has no as-of join, so it is expressed as the repo's
+    sorted-partition pattern (the ``sessionize`` shape): filter both
+    sides to the two event types INSIDE the first map (only click +
+    purchase rows ever enter the shuffle), coarse-hash by user_id so
+    each user's merged timeline lands whole in one partition, then ONE
+    vectorized sort + where/ffill per partition computes every match at
+    C speed — no per-user Python callback, no row loop.  The order key
+    is pinned to (ts, event_id) on both sides, so a click sharing a
+    purchase's timestamp matches iff its event_id is lower.
+    """
+    import numpy as np
+
+    N_PARTS = 64  # coarse shuffle width; scales with cluster, not users
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["event_type"].isin(("click", "purchase"))]
+        uh = pd.util.hash_array(
+            b["user_id"].to_numpy(dtype=np.int64)
+        ).astype(np.uint64)
+        return b.assign(part=(uh % np.uint64(N_PARTS)).astype("int64"))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64")
+        last_click = (
+            ts_us.where(g["event_type"].eq("click"))
+            .groupby(g["user_id"]).ffill()
+        )
+        out = pd.DataFrame(
+            {"event_id": g["event_id"].astype("int64"),
+             "user_id": g["user_id"].astype("int64"),
+             "ts_us": ts_us,
+             "click_ts_us": last_click.fillna(-1).astype("int64")}
+        )[g["event_type"].eq("purchase").to_numpy()]
+        out["gap_us"] = np.where(
+            out["click_ts_us"] >= 0, out["ts_us"] - out["click_ts_us"], -1
+        ).astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas", batch_size=16384)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )

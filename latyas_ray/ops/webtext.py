@@ -363,6 +363,62 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 GOPHER_BULLET_PREFIXES = ("- ", "* ", "• ")
 
 
+def _gopher_quality_frame(df: pd.DataFrame) -> pd.DataFrame:
+    t = df["text"].fillna("").reset_index(drop=True)
+    n = len(t)
+    idx = range(n)
+
+    def persum(series: pd.Series) -> np.ndarray:
+        """Sum an exploded per-token/per-line series back to row
+        position (level-0 index), 0 for rows with no elements."""
+        if not len(series):
+            return np.zeros(n, dtype=np.int64)
+        s = series.groupby(level=0).sum()
+        return s.reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
+
+    words = ascii_token_lists(t)
+    n_words = words.map(len).to_numpy(dtype=np.int64)
+    ex = words.explode().dropna()
+    sum_word_chars = persum(ex.str.len())
+    n_alpha_words = persum(
+        ex.str.contains("[A-Za-z]", regex=True).astype(np.int64))
+    n_stop_words = persum(ex.isin(GOPHER_STOPWORDS).astype(np.int64))
+
+    n_hash = t.str.count("#").to_numpy(dtype=np.int64)
+    n_ellipsis = (
+        (t.str.len() - t.str.replace("...", "", regex=False).str.len())
+        // 3
+    ).to_numpy(dtype=np.int64)
+
+    lx = t.str.split("\n").explode()
+    ne = lx != ""
+    n_lines = persum(ne.astype(np.int64))
+    bullet = ne & lx.str.startswith(GOPHER_BULLET_PREFIXES)
+    n_bullet_lines = persum(bullet.astype(np.int64))
+    eend = ne & lx.str.endswith("...")
+    n_ellipsis_lines = persum(eend.astype(np.int64))
+
+    passes = (
+        (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+        & (3 * n_words <= sum_word_chars)
+        & (sum_word_chars <= 10 * n_words)
+        & (10 * (n_hash + n_ellipsis) <= n_words)
+        & (10 * n_bullet_lines <= 9 * n_lines)
+        & (10 * n_ellipsis_lines <= 3 * n_lines)
+        & (5 * n_alpha_words >= 4 * n_words)
+        & (n_stop_words >= 2)
+    )
+    return pd.DataFrame(
+        {"url": df["url"].reset_index(drop=True),
+         "n_words": n_words, "sum_word_chars": sum_word_chars,
+         "n_alpha_words": n_alpha_words, "n_stop_words": n_stop_words,
+         "n_hash": n_hash, "n_ellipsis": n_ellipsis,
+         "n_lines": n_lines, "n_bullet_lines": n_bullet_lines,
+         "n_ellipsis_lines": n_ellipsis_lines,
+         "passes_gopher": passes.astype(np.int64)}
+    )
+
+
 def gopher_quality(sf_dir: str) -> rd.Dataset:
     """Gopher-style document quality signals + pass flag, map-only.
 
@@ -388,63 +444,9 @@ def gopher_quality(sf_dir: str) -> rd.Dataset:
     Per-document signals over single-row documents → zero shuffle.
     """
     ds = _read_corpus(sf_dir, ["url", "text"])
-
-    def sig(df: pd.DataFrame) -> pd.DataFrame:
-        t = df["text"].fillna("").reset_index(drop=True)
-        n = len(t)
-        idx = range(n)
-
-        def persum(series: pd.Series) -> np.ndarray:
-            """Sum an exploded per-token/per-line series back to row
-            position (level-0 index), 0 for rows with no elements."""
-            if not len(series):
-                return np.zeros(n, dtype=np.int64)
-            s = series.groupby(level=0).sum()
-            return s.reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
-
-        words = ascii_token_lists(t)
-        n_words = words.map(len).to_numpy(dtype=np.int64)
-        ex = words.explode().dropna()
-        sum_word_chars = persum(ex.str.len())
-        n_alpha_words = persum(
-            ex.str.contains("[A-Za-z]", regex=True).astype(np.int64))
-        n_stop_words = persum(ex.isin(GOPHER_STOPWORDS).astype(np.int64))
-
-        n_hash = t.str.count("#").to_numpy(dtype=np.int64)
-        n_ellipsis = (
-            (t.str.len() - t.str.replace("...", "", regex=False).str.len())
-            // 3
-        ).to_numpy(dtype=np.int64)
-
-        lx = t.str.split("\n").explode()
-        ne = lx != ""
-        n_lines = persum(ne.astype(np.int64))
-        bullet = ne & lx.str.startswith(GOPHER_BULLET_PREFIXES)
-        n_bullet_lines = persum(bullet.astype(np.int64))
-        eend = ne & lx.str.endswith("...")
-        n_ellipsis_lines = persum(eend.astype(np.int64))
-
-        passes = (
-            (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
-            & (3 * n_words <= sum_word_chars)
-            & (sum_word_chars <= 10 * n_words)
-            & (10 * (n_hash + n_ellipsis) <= n_words)
-            & (10 * n_bullet_lines <= 9 * n_lines)
-            & (10 * n_ellipsis_lines <= 3 * n_lines)
-            & (5 * n_alpha_words >= 4 * n_words)
-            & (n_stop_words >= 2)
-        )
-        return pd.DataFrame(
-            {"url": df["url"].reset_index(drop=True),
-             "n_words": n_words, "sum_word_chars": sum_word_chars,
-             "n_alpha_words": n_alpha_words, "n_stop_words": n_stop_words,
-             "n_hash": n_hash, "n_ellipsis": n_ellipsis,
-             "n_lines": n_lines, "n_bullet_lines": n_bullet_lines,
-             "n_ellipsis_lines": n_ellipsis_lines,
-             "passes_gopher": passes.astype(np.int64)}
-        )
-
-    return ds.map_batches(sig, batch_format="pandas", batch_size=2048)
+    return ds.map_batches(
+        _gopher_quality_frame, batch_format="pandas", batch_size=2048
+    )
 
 
 # ----------------------------------------------------- gopher_repetition
@@ -458,6 +460,75 @@ GOPHER_DUP_NGRAM_CAPS = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
 # collision behavior, which is pinned by construction); 0x1F (unit
 # separator) never occurs in the corpus.
 NGRAM_SEP = "\x1f"
+
+
+def _gopher_repetition_frame(df: pd.DataFrame) -> pd.DataFrame:
+    t = df["text"].fillna("").reset_index(drop=True)
+    n_rows = len(t)
+
+    words = ascii_token_lists(t)
+    n_tok = words.map(len).to_numpy(dtype=np.int64)
+    total_toks = int(n_tok.sum())
+    out = {"url": df["url"].reset_index(drop=True)}
+
+    if total_toks == 0:
+        zero = np.zeros(n_rows, dtype=np.int64)
+        out["sum_word_chars"] = zero
+        for n in range(2, 11):
+            out[f"top{n}_chars" if n <= 4 else f"dup{n}_chars"] = zero
+        out["passes_repetition"] = np.ones(n_rows, dtype=np.int64)
+        return pd.DataFrame(out)
+
+    doc = np.repeat(np.arange(n_rows, dtype=np.int64), n_tok)
+    flat = words.explode().dropna()
+    tok_id, uniq = pd.factorize(flat.to_numpy(), sort=False)
+    tok_id = tok_id.astype(np.int64)
+    ulen = np.fromiter((len(u) for u in uniq), np.int64, count=len(uniq))
+    lens = ulen[tok_id]
+    cs = np.concatenate(([0], np.cumsum(lens)))  # prefix char sums
+    starts = np.concatenate(([0], np.cumsum(n_tok)))
+    pos_in_doc = np.arange(total_toks, dtype=np.int64) - starts[doc]
+    doc_len = n_tok[doc]
+    total = np.bincount(doc, weights=lens, minlength=n_rows).astype(
+        np.int64
+    )
+    out["sum_word_chars"] = total
+
+    pos = np.arange(total_toks, dtype=np.int64)  # n-gram start positions
+    cur = tok_id  # integer id of the n-gram starting at each pos
+    for n in range(2, 11):
+        colname = f"top{n}_chars" if n <= 4 else f"dup{n}_chars"
+        keep = pos_in_doc[pos] <= doc_len[pos] - n  # window stays in doc
+        pos, cur = pos[keep], cur[keep]
+        col = np.zeros(n_rows, dtype=np.int64)
+        if len(pos):
+            nxt = tok_id[pos + (n - 1)]
+            cur, _ = pd.factorize(
+                cur * np.int64(len(uniq) + 1) + nxt, sort=False
+            )
+            cur = cur.astype(np.int64)
+            nch = cs[pos + n] - cs[pos]
+            dpos = doc[pos]
+            key = cur * np.int64(n_rows) + dpos
+            _, first, cnts = np.unique(
+                key, return_index=True, return_counts=True
+            )
+            prod = cnts.astype(np.int64) * nch[first]
+            udoc = dpos[first]
+            if n <= 4:
+                np.maximum.at(col, udoc, prod)
+            else:
+                m = cnts >= 2
+                np.add.at(col, udoc[m], prod[m])
+        out[colname] = col
+
+    passes = np.ones(n_rows, dtype=bool)
+    for n, cap in GOPHER_TOP_NGRAM_CAPS.items():
+        passes &= 100 * out[f"top{n}_chars"] <= cap * total
+    for n, cap in GOPHER_DUP_NGRAM_CAPS.items():
+        passes &= 100 * out[f"dup{n}_chars"] <= cap * total
+    out["passes_repetition"] = passes.astype(np.int64)
+    return pd.DataFrame(out)
 
 
 def gopher_repetition(sf_dir: str) -> rd.Dataset:
@@ -490,76 +561,9 @@ def gopher_repetition(sf_dir: str) -> rd.Dataset:
     this kernel measured 40 s per 1,000 docs; this one ~1 s.
     """
     ds = _read_corpus(sf_dir, ["url", "text"])
-
-    def sig(df: pd.DataFrame) -> pd.DataFrame:
-        t = df["text"].fillna("").reset_index(drop=True)
-        n_rows = len(t)
-
-        words = ascii_token_lists(t)
-        n_tok = words.map(len).to_numpy(dtype=np.int64)
-        total_toks = int(n_tok.sum())
-        out = {"url": df["url"].reset_index(drop=True)}
-
-        if total_toks == 0:
-            zero = np.zeros(n_rows, dtype=np.int64)
-            out["sum_word_chars"] = zero
-            for n in range(2, 11):
-                out[f"top{n}_chars" if n <= 4 else f"dup{n}_chars"] = zero
-            out["passes_repetition"] = np.ones(n_rows, dtype=np.int64)
-            return pd.DataFrame(out)
-
-        doc = np.repeat(np.arange(n_rows, dtype=np.int64), n_tok)
-        flat = words.explode().dropna()
-        tok_id, uniq = pd.factorize(flat.to_numpy(), sort=False)
-        tok_id = tok_id.astype(np.int64)
-        ulen = np.fromiter((len(u) for u in uniq), np.int64, count=len(uniq))
-        lens = ulen[tok_id]
-        cs = np.concatenate(([0], np.cumsum(lens)))  # prefix char sums
-        starts = np.concatenate(([0], np.cumsum(n_tok)))
-        pos_in_doc = np.arange(total_toks, dtype=np.int64) - starts[doc]
-        doc_len = n_tok[doc]
-        total = np.bincount(doc, weights=lens, minlength=n_rows).astype(
-            np.int64
-        )
-        out["sum_word_chars"] = total
-
-        pos = np.arange(total_toks, dtype=np.int64)  # n-gram start positions
-        cur = tok_id  # integer id of the n-gram starting at each pos
-        for n in range(2, 11):
-            colname = f"top{n}_chars" if n <= 4 else f"dup{n}_chars"
-            keep = pos_in_doc[pos] <= doc_len[pos] - n  # window stays in doc
-            pos, cur = pos[keep], cur[keep]
-            col = np.zeros(n_rows, dtype=np.int64)
-            if len(pos):
-                nxt = tok_id[pos + (n - 1)]
-                cur, _ = pd.factorize(
-                    cur * np.int64(len(uniq) + 1) + nxt, sort=False
-                )
-                cur = cur.astype(np.int64)
-                nch = cs[pos + n] - cs[pos]
-                dpos = doc[pos]
-                key = cur * np.int64(n_rows) + dpos
-                _, first, cnts = np.unique(
-                    key, return_index=True, return_counts=True
-                )
-                prod = cnts.astype(np.int64) * nch[first]
-                udoc = dpos[first]
-                if n <= 4:
-                    np.maximum.at(col, udoc, prod)
-                else:
-                    m = cnts >= 2
-                    np.add.at(col, udoc[m], prod[m])
-            out[colname] = col
-
-        passes = np.ones(n_rows, dtype=bool)
-        for n, cap in GOPHER_TOP_NGRAM_CAPS.items():
-            passes &= 100 * out[f"top{n}_chars"] <= cap * total
-        for n, cap in GOPHER_DUP_NGRAM_CAPS.items():
-            passes &= 100 * out[f"dup{n}_chars"] <= cap * total
-        out["passes_repetition"] = passes.astype(np.int64)
-        return pd.DataFrame(out)
-
-    return ds.map_batches(sig, batch_format="pandas", batch_size=512)
+    return ds.map_batches(
+        _gopher_repetition_frame, batch_format="pandas", batch_size=512
+    )
 
 
 # ------------------------------------------------------------ c4_quality
@@ -572,6 +576,60 @@ C4_LOREM_RE = r"[Ll]orem [Ii]psum"
 C4_TERMINAL = (".", "!", "?", '"')
 C4_MIN_LINE_WORDS = 3
 C4_MIN_SENTENCES = 5
+
+
+def _c4_quality_frame(df: pd.DataFrame) -> pd.DataFrame:
+    t = df["text"].fillna("").reset_index(drop=True)
+    n = len(t)
+    idx = range(n)
+
+    def persum(mask: pd.Series) -> np.ndarray:
+        if not len(mask):
+            return np.zeros(n, dtype=np.int64)
+        s = mask.astype(np.int64).groupby(level=0).sum()
+        return s.reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
+
+    lx = t.str.split("\n").explode()
+    ne = lx != ""
+    n_lines = persum(ne)
+    terminal = ne & lx.str.endswith(C4_TERMINAL)
+    n_terminal = persum(terminal)
+    n_words_line = lx.str.count(TOKEN_RE)
+    short = ne & (n_words_line < C4_MIN_LINE_WORDS)
+    n_short = persum(short)
+    js = ne & lx.str.contains(C4_JS_RE, regex=True)
+    n_js = persum(js)
+    kept = terminal & ~short & ~js
+    n_kept = persum(kept)
+
+    # per-doc joined digest: group kept lines, preserve order (explode
+    # preserves intra-list order within each level-0 index)
+    joined = (
+        lx[kept].groupby(level=0).agg("\n".join)
+        .reindex(idx, fill_value="")
+    )
+    clean_md5 = joined.map(
+        lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()
+    )
+
+    n_sentences = t.str.count(r"[.!?]").to_numpy(dtype=np.int64)
+    has_lorem = t.str.contains(C4_LOREM_RE, regex=True)
+    has_brace = t.str.contains("{", regex=False)
+
+    passes = (
+        ~has_lorem.to_numpy() & ~has_brace.to_numpy()
+        & (n_sentences >= C4_MIN_SENTENCES) & (n_kept >= 1)
+    )
+    return pd.DataFrame(
+        {"url": df["url"].reset_index(drop=True),
+         "n_lines": n_lines, "n_terminal_lines": n_terminal,
+         "n_short_lines": n_short, "n_js_lines": n_js,
+         "n_kept_lines": n_kept, "n_sentences": n_sentences,
+         "has_lorem": has_lorem.to_numpy().astype(np.int64),
+         "has_brace": has_brace.to_numpy().astype(np.int64),
+         "clean_md5": clean_md5.to_numpy(),
+         "passes_c4": passes.astype(np.int64)}
+    )
 
 
 def c4_quality(sf_dir: str) -> rd.Dataset:
@@ -593,63 +651,9 @@ def c4_quality(sf_dir: str) -> rd.Dataset:
     the SQL oracle recompute is bit-exact.
     """
     ds = _read_corpus(sf_dir, ["url", "text"])
-    js_pat = _re.compile(C4_JS_RE)
-    lorem_pat = _re.compile(C4_LOREM_RE)
-
-    def sig(df: pd.DataFrame) -> pd.DataFrame:
-        t = df["text"].fillna("").reset_index(drop=True)
-        n = len(t)
-        idx = range(n)
-
-        def persum(mask: pd.Series) -> np.ndarray:
-            if not len(mask):
-                return np.zeros(n, dtype=np.int64)
-            s = mask.astype(np.int64).groupby(level=0).sum()
-            return s.reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
-
-        lx = t.str.split("\n").explode()
-        ne = lx != ""
-        n_lines = persum(ne)
-        terminal = ne & lx.str.endswith(C4_TERMINAL)
-        n_terminal = persum(terminal)
-        n_words_line = lx.str.count(TOKEN_RE)
-        short = ne & (n_words_line < C4_MIN_LINE_WORDS)
-        n_short = persum(short)
-        js = ne & lx.str.contains(C4_JS_RE, regex=True)
-        n_js = persum(js)
-        kept = terminal & ~short & ~js
-        n_kept = persum(kept)
-
-        # per-doc joined digest: group kept lines, preserve order (explode
-        # preserves intra-list order within each level-0 index)
-        joined = (
-            lx[kept].groupby(level=0).agg("\n".join)
-            .reindex(idx, fill_value="")
-        )
-        clean_md5 = joined.map(
-            lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()
-        )
-
-        n_sentences = t.str.count(r"[.!?]").to_numpy(dtype=np.int64)
-        has_lorem = t.str.contains(C4_LOREM_RE, regex=True)
-        has_brace = t.str.contains("{", regex=False)
-
-        passes = (
-            ~has_lorem.to_numpy() & ~has_brace.to_numpy()
-            & (n_sentences >= C4_MIN_SENTENCES) & (n_kept >= 1)
-        )
-        return pd.DataFrame(
-            {"url": df["url"].reset_index(drop=True),
-             "n_lines": n_lines, "n_terminal_lines": n_terminal,
-             "n_short_lines": n_short, "n_js_lines": n_js,
-             "n_kept_lines": n_kept, "n_sentences": n_sentences,
-             "has_lorem": has_lorem.to_numpy().astype(np.int64),
-             "has_brace": has_brace.to_numpy().astype(np.int64),
-             "clean_md5": clean_md5.to_numpy(),
-             "passes_c4": passes.astype(np.int64)}
-        )
-
-    return ds.map_batches(sig, batch_format="pandas", batch_size=2048)
+    return ds.map_batches(
+        _c4_quality_frame, batch_format="pandas", batch_size=2048
+    )
 
 
 # -------------------------------------------------------- dup_span_census
@@ -818,3 +822,43 @@ def dup_span_census(sf_dir: str, w: int = DUP_SPAN_W,
         .map_groups(reduce2, batch_format="pandas")
         .select_columns(["span_md5", "n_urls", "n_total"])
     )
+
+
+# --------------------------------------------------------- quality_funnel
+
+
+def quality_funnel(sf_dir: str) -> rd.Dataset:
+    """The full document-curation gate — Gopher quality rules, Gopher
+    n-gram repetition rules, and C4 page cleaning — evaluated in ONE
+    map-only pass per document: (url, passes_gopher, passes_repetition,
+    passes_c4, keep) with ``keep`` the integer conjunction.
+
+    This is the FineWeb/Gopher-style filter funnel a training-data
+    pipeline actually runs: one linear scan, all three rule batteries
+    over the same in-memory batch (no re-read, no join, no shuffle —
+    the three per-rule datasets are row-aligned by construction, so the
+    combine is a positional concat, not a key join).  The SQL oracle
+    re-derives each battery with its own independent construction and
+    joins on url, so the funnel's composition is verified end-to-end,
+    not assumed from the parts.
+    """
+    ds = _read_corpus(sf_dir, ["url", "text"])
+
+    def funnel(df: pd.DataFrame) -> pd.DataFrame:
+        g = _gopher_quality_frame(df)
+        r = _gopher_repetition_frame(df)
+        c = _c4_quality_frame(df)
+        keep = (
+            g["passes_gopher"].to_numpy()
+            & r["passes_repetition"].to_numpy()
+            & c["passes_c4"].to_numpy()
+        )
+        return pd.DataFrame(
+            {"url": g["url"],
+             "passes_gopher": g["passes_gopher"],
+             "passes_repetition": r["passes_repetition"],
+             "passes_c4": c["passes_c4"],
+             "keep": keep.astype(np.int64)}
+        )
+
+    return ds.map_batches(funnel, batch_format="pandas", batch_size=512)
