@@ -80,6 +80,20 @@ class DigestNSPScorer(NSPScorer):
         return (v - 6000) / 1000.0, 0.0
 
 
+# Upper bound on regions per page for the NSP pair scan.  The
+# reference's unit of work is a RENDERED PDF PAGE (it reads
+# ``layout._page.shape``), physically bounded to O(100) blocks; this
+# engine also routes whole HTML documents through the operator, where
+# the synthetic 'giant' family reaches 16,000+ regions on one "page" —
+# there the pair scan is >10^8 candidate pairs and each promotion is an
+# O(n) list splice, i.e. tens of CPU-minutes per document for a pass no
+# real pipeline would run (a true BERT backend would be 10^8 model
+# inferences).  Beyond the cap the positional grid order — the loop's
+# own seed — IS the output.  Mirrored verbatim in the serial oracle
+# (oracles.py::_oracle_semantic_reflow).
+SEM_REFLOW_MAX_REGIONS = 256
+
+
 def semantic_reflow(
     rects: Sequence[Rect],
     texts: Sequence[Optional[str]],
@@ -94,7 +108,9 @@ def semantic_reflow(
     intends to call, ``position_reflow.py:5-19``); page dims default to
     the rect extents because no pixel page exists for HTML documents
     (the reference reads ``layout._page.shape`` — documented deviation,
-    identical quantization for any page whose blocks span it).
+    identical quantization for any page whose blocks span it).  Pages
+    with more than ``SEM_REFLOW_MAX_REGIONS`` regions keep the seed
+    order (see the cap's rationale above).
     """
     n = len(rects)
     if n == 0:
@@ -104,6 +120,8 @@ def semantic_reflow(
     if page_w is None:
         page_w = max(r[2] for r in rects)
     order = position_reflow(rects, float(page_h), float(page_w))
+    if n > SEM_REFLOW_MAX_REGIONS:
+        return order
 
     for i in range(n):
         for j in range(i, n):

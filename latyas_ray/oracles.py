@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 ORACLE_BASE = "/tmp/latyas_ray/oracle"
-ORACLE_VERSION = 2
+ORACLE_VERSION = 3  # /3: semantic-reflow page cap (SEM_REFLOW_MAX_REGIONS)
 
 _M64 = (1 << 64) - 1
 _MERSENNE = (1 << 61) - 1
@@ -674,7 +674,11 @@ def _oracle_semantic_reflow(sf_dir: str) -> pa.Table:
         return [item[1] for item in sorted_bbox]
 
     def _nsp_loop(rects, texts, position_blocks, threshold=3):
-        # bert_reflow.py:19-53, with the model call replaced by _margin
+        # bert_reflow.py:19-53, with the model call replaced by _margin.
+        # Region cap mirrored from functions/semantic_reflow.py
+        # (SEM_REFLOW_MAX_REGIONS): oversized pages keep the seed order.
+        if len(position_blocks) > 256:
+            return position_blocks
         for bbox_i in range(len(position_blocks)):
             for bbox_j in range(bbox_i, len(position_blocks)):
                 if bbox_i == bbox_j:

@@ -191,3 +191,34 @@ def test_reflow_rows_for_doc_groups_pages():
     page0 = sorted(r[3] for r in rows if r[1] == 0)
     assert page0 == [0, 1]
     assert [r[3] for r in rows if r[1] == 1] == [0]
+
+
+def test_region_cap_keeps_positional_order():
+    """Pages beyond SEM_REFLOW_MAX_REGIONS keep the grid-seed order even
+    under an always-promote scorer; below the cap the same scorer
+    reorders — proving the cap (not scorer behavior) is what gates."""
+    from latyas_ray.functions.semantic_reflow import (
+        SEM_REFLOW_MAX_REGIONS,
+        NSPScorer,
+        semantic_reflow,
+    )
+    from latyas_ray.reflow import position_reflow
+
+    class AlwaysPromote(NSPScorer):
+        def score_pair(self, lhs, rhs):
+            return 10.0, 0.0
+
+    def column(n):
+        # vertical stack: every (i, j>i) pair passes the geometric gate
+        rects = [(0.0, float(20 * i), 10.0, float(20 * i + 10)) for i in range(n)]
+        texts = [f"t{i}" for i in range(n)]
+        return rects, texts
+
+    n_big = SEM_REFLOW_MAX_REGIONS + 1
+    rects, texts = column(n_big)
+    seed = position_reflow(rects, float(20 * n_big), 10.0)
+    assert semantic_reflow(rects, texts, AlwaysPromote()) == seed
+
+    rects5, texts5 = column(5)
+    seed5 = position_reflow(rects5, 100.0, 10.0)
+    assert semantic_reflow(rects5, texts5, AlwaysPromote()) != seed5
