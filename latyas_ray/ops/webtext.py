@@ -364,25 +364,39 @@ GOPHER_BULLET_PREFIXES = ("- ", "* ", "• ")
 
 
 def _gopher_quality_frame(df: pd.DataFrame) -> pd.DataFrame:
+    # Token stats run on the FACTORIZED UNIQUE tokens (length / alpha /
+    # stop-word are functions of token identity), mapped back by id and
+    # summed per document with one bincount each — the per-occurrence
+    # version (regex + pandas groupby(level=0) over every exploded token)
+    # measured 131 s at sf0.1 where this one is ~10×-faster; weights stay
+    # exact in float64 (per-doc sums ≪ 2^53).
     t = df["text"].fillna("").reset_index(drop=True)
     n = len(t)
-    idx = range(n)
-
-    def persum(series: pd.Series) -> np.ndarray:
-        """Sum an exploded per-token/per-line series back to row
-        position (level-0 index), 0 for rows with no elements."""
-        if not len(series):
-            return np.zeros(n, dtype=np.int64)
-        s = series.groupby(level=0).sum()
-        return s.reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
 
     words = ascii_token_lists(t)
     n_words = words.map(len).to_numpy(dtype=np.int64)
-    ex = words.explode().dropna()
-    sum_word_chars = persum(ex.str.len())
-    n_alpha_words = persum(
-        ex.str.contains("[A-Za-z]", regex=True).astype(np.int64))
-    n_stop_words = persum(ex.isin(GOPHER_STOPWORDS).astype(np.int64))
+    total = int(n_words.sum())
+    if total:
+        doc = np.repeat(np.arange(n, dtype=np.int64), n_words)
+        flat = words.explode().dropna()
+        tok_id, uniq = pd.factorize(flat.to_numpy(), sort=False)
+        useries = pd.Series(uniq)
+        ulen = useries.str.len().to_numpy(dtype=np.int64)
+        ualpha = useries.str.contains("[A-Za-z]", regex=True).to_numpy()
+        ustop = useries.isin(GOPHER_STOPWORDS).to_numpy()
+
+        def docsum(per_uniq) -> np.ndarray:
+            return np.bincount(
+                doc, weights=per_uniq[tok_id].astype(np.float64), minlength=n
+            ).astype(np.int64)
+
+        sum_word_chars = docsum(ulen)
+        n_alpha_words = docsum(ualpha)
+        n_stop_words = docsum(ustop)
+    else:
+        sum_word_chars = np.zeros(n, dtype=np.int64)
+        n_alpha_words = np.zeros(n, dtype=np.int64)
+        n_stop_words = np.zeros(n, dtype=np.int64)
 
     n_hash = t.str.count("#").to_numpy(dtype=np.int64)
     n_ellipsis = (
@@ -390,13 +404,17 @@ def _gopher_quality_frame(df: pd.DataFrame) -> pd.DataFrame:
         // 3
     ).to_numpy(dtype=np.int64)
 
-    lx = t.str.split("\n").explode()
-    ne = lx != ""
-    n_lines = persum(ne.astype(np.int64))
-    bullet = ne & lx.str.startswith(GOPHER_BULLET_PREFIXES)
-    n_bullet_lines = persum(bullet.astype(np.int64))
-    eend = ne & lx.str.endswith("...")
-    n_ellipsis_lines = persum(eend.astype(np.int64))
+    lines = t.str.split("\n")
+    ldoc = np.repeat(
+        np.arange(n, dtype=np.int64), lines.map(len).to_numpy(dtype=np.int64)
+    )
+    lx = lines.explode()
+    ne = (lx != "").to_numpy()
+    n_lines = np.bincount(ldoc[ne], minlength=n).astype(np.int64)
+    bullet = lx.str.startswith(GOPHER_BULLET_PREFIXES).to_numpy() & ne
+    n_bullet_lines = np.bincount(ldoc[bullet], minlength=n).astype(np.int64)
+    eend = lx.str.endswith("...").to_numpy() & ne
+    n_ellipsis_lines = np.bincount(ldoc[eend], minlength=n).astype(np.int64)
 
     passes = (
         (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
@@ -444,8 +462,11 @@ def gopher_quality(sf_dir: str) -> rd.Dataset:
     Per-document signals over single-row documents → zero shuffle.
     """
     ds = _read_corpus(sf_dir, ["url", "text"])
+    # 512-doc batches: the giant-document family skews 2048-doc batches
+    # badly (few huge tasks starve the pool); 512 matches the repetition
+    # kernel's sizing and measured materially better at sf0.1
     return ds.map_batches(
-        _gopher_quality_frame, batch_format="pandas", batch_size=2048
+        _gopher_quality_frame, batch_format="pandas", batch_size=512
     )
 
 
