@@ -171,10 +171,15 @@ def run_bench() -> dict:
     from latyas_ray.pipelines.semantic_pipeline import semantic_reflow_dataset
 
     def _semantic_reflow(sf_dir_):
-        c = ensure_corpus_for_sf(sf_label_from_dir(sf_dir_))
+        # consume the flagship run's materialized extraction output (the
+        # honest downstream-pipeline shape) instead of re-extracting the
+        # corpus — the re-extract variant spent ~2/3 of its wall redoing
+        # the stage timed separately above
+        import ray.data as rd
+
         return semantic_reflow_dataset(
-            extract_dataset(read_pages(c), batch_size=32,
-                            use_actors=True, concurrency=(1, 8))
+            rd.read_parquet(out_dir,
+                            columns=["url", "extracted_text", "regions"])
         )
 
     op_fns["semantic_reflow"] = _semantic_reflow
@@ -195,6 +200,9 @@ def run_bench() -> dict:
         t0 = time.time()
         _consume(fn(sf_dir))
         queries[name] = round(time.time() - t0, 3)
+        # progress to stderr so a hung query is attributable from logs
+        # (stdout stays reserved for the single final JSON line)
+        print(f"[bench] {name}: {queries[name]}s", file=sys.stderr, flush=True)
 
     result = {
         "metric": "extraction_wall_sec",
