@@ -106,10 +106,10 @@ def _rng(doc_id: int, salt: str = "") -> random.Random:
     return random.Random(f"{CORPUS_VERSION}:{salt}:{doc_id}")
 
 
-# English function words woven into en sentences (corpus /5) — the same
-# set the gopher_quality stop-word rule counts, so English documents of
-# sufficient length pass while the rule stays discriminative for the rest.
-_EN_FUNCTION_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+# English function words woven into en sentences (corpus /5) — the very
+# tuple the gopher_quality stop-word rule counts (one home in ops/common
+# so an edit to the rule set cannot silently stop discriminating here).
+from .ops.common import GOPHER_STOPWORDS as _EN_FUNCTION_WORDS  # noqa: E402
 
 
 def _sentence(rng: random.Random, lang: str, n_words: int) -> str:

@@ -18,6 +18,12 @@ import ray.data as rd
 # every tokenizing kernel AND the serial oracles.
 WS_RE = r"[\t\n\f\r ]"
 TOKEN_RE = r"[^\t\n\f\r ]+"
+
+# Gopher stop-word rule set (Rae et al. 2021, table A1) — ONE home: the
+# quality rule counts these (ops/webtext.py) AND the corpus generator
+# weaves them into en sentences (corpus.py) so the rule discriminates on
+# synthetic data; a single constant keeps the two sides from drifting.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 _TOKEN_PAT = re.compile(TOKEN_RE)
 
 

@@ -49,6 +49,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..corpus import ensure_corpus_for_sf, sf_label_from_dir
+from .common import GOPHER_STOPWORDS as _GOPHER_STOPWORDS
 from .common import TOKEN_RE, ascii_token_lists
 
 # RE2-safe ASCII patterns, shared verbatim with the SQL oracles.  The
@@ -359,11 +360,35 @@ def boilerplate_strip(sf_dir: str, min_urls: int = 10) -> rd.Dataset:
 # with the SQL oracle via the integer-comparison forms below.
 GOPHER_MIN_WORDS = 50
 GOPHER_MAX_WORDS = 100_000
-GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_STOPWORDS = _GOPHER_STOPWORDS  # pinned in ops/common.py — the
+# corpus generator weaves the same tuple into en sentences, so the two
+# sites can never drift
 GOPHER_BULLET_PREFIXES = ("- ", "* ", "• ")
 
 
-def _gopher_quality_frame(df: pd.DataFrame) -> pd.DataFrame:
+def _flat_tokens(t: pd.Series):
+    """ONE flat-token construction for every per-document token kernel
+    (quality, repetition, span census): pinned-ASCII token lists exploded
+    to a flat id array with per-document extents.
+
+    Returns ``(n_tok, doc, tok_id, uniq, starts)`` — token count per row,
+    document index per token, factorized token id per token, the unique
+    token strings, and prefix token offsets — or ``None`` for a batch
+    with zero tokens.  Shared so a tokenizer or guard fix lands in all
+    consumers at once (they diverged silently when each kernel carried
+    its own copy)."""
+    words = ascii_token_lists(t)
+    n_tok = words.map(len).to_numpy(dtype=np.int64)
+    if int(n_tok.sum()) == 0:
+        return None
+    doc = np.repeat(np.arange(len(t), dtype=np.int64), n_tok)
+    flat = words.explode().dropna()
+    tok_id, uniq = pd.factorize(flat.to_numpy(), sort=False)
+    starts = np.concatenate(([0], np.cumsum(n_tok)))
+    return n_tok, doc, tok_id.astype(np.int64), uniq, starts
+
+
+def _gopher_quality_frame(df: pd.DataFrame, tok=None) -> pd.DataFrame:
     # Token stats run on the FACTORIZED UNIQUE tokens (length / alpha /
     # stop-word are functions of token identity), mapped back by id and
     # summed per document with one bincount each — the per-occurrence
@@ -373,13 +398,10 @@ def _gopher_quality_frame(df: pd.DataFrame) -> pd.DataFrame:
     t = df["text"].fillna("").reset_index(drop=True)
     n = len(t)
 
-    words = ascii_token_lists(t)
-    n_words = words.map(len).to_numpy(dtype=np.int64)
-    total = int(n_words.sum())
-    if total:
-        doc = np.repeat(np.arange(n, dtype=np.int64), n_words)
-        flat = words.explode().dropna()
-        tok_id, uniq = pd.factorize(flat.to_numpy(), sort=False)
+    if tok is None:
+        tok = _flat_tokens(t)
+    if tok is not None:
+        n_words, doc, tok_id, uniq, _ = tok
         useries = pd.Series(uniq)
         ulen = useries.str.len().to_numpy(dtype=np.int64)
         ualpha = useries.str.contains("[A-Za-z]", regex=True).to_numpy()
@@ -394,6 +416,7 @@ def _gopher_quality_frame(df: pd.DataFrame) -> pd.DataFrame:
         n_alpha_words = docsum(ualpha)
         n_stop_words = docsum(ustop)
     else:
+        n_words = np.zeros(n, dtype=np.int64)
         sum_word_chars = np.zeros(n, dtype=np.int64)
         n_alpha_words = np.zeros(n, dtype=np.int64)
         n_stop_words = np.zeros(n, dtype=np.int64)
@@ -476,23 +499,27 @@ def gopher_quality(sf_dir: str) -> rd.Dataset:
 # percent caps on the char fraction: 100·signal ≤ cap·total_chars.
 GOPHER_TOP_NGRAM_CAPS = {2: 20, 3: 18, 4: 16}
 GOPHER_DUP_NGRAM_CAPS = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
-# Joiner for n-gram keys: any non-whitespace byte works identically on
-# both sides (tokens are \S+ so they can't contain it matters only for
-# collision behavior, which is pinned by construction); 0x1F (unit
-# separator) never occurs in the corpus.
+# Joiner for n-gram / span keys in the SQL oracles and the span md5.
+# CAVEAT (engine↔oracle contract): chr(31) is NOT whitespace under the
+# pinned tokenizer, so a token containing a literal 0x1F would make the
+# joined-string identity collide across distinct token sequences (the
+# engine's integer-sequence identity would not).  The pinned corpus
+# generator never emits control characters — asserted by
+# tests/test_webtext.py::test_corpus_has_no_ngram_separator — so the two
+# identities coincide on every input these ops are verified over; real
+# crawl data would need a separator-escaping join before reusing the
+# SQL oracles verbatim.
 NGRAM_SEP = "\x1f"
 
 
-def _gopher_repetition_frame(df: pd.DataFrame) -> pd.DataFrame:
+def _gopher_repetition_frame(df: pd.DataFrame, tok=None) -> pd.DataFrame:
     t = df["text"].fillna("").reset_index(drop=True)
     n_rows = len(t)
 
-    words = ascii_token_lists(t)
-    n_tok = words.map(len).to_numpy(dtype=np.int64)
-    total_toks = int(n_tok.sum())
     out = {"url": df["url"].reset_index(drop=True)}
-
-    if total_toks == 0:
+    if tok is None:
+        tok = _flat_tokens(t)
+    if tok is None:
         zero = np.zeros(n_rows, dtype=np.int64)
         out["sum_word_chars"] = zero
         for n in range(2, 11):
@@ -500,14 +527,11 @@ def _gopher_repetition_frame(df: pd.DataFrame) -> pd.DataFrame:
         out["passes_repetition"] = np.ones(n_rows, dtype=np.int64)
         return pd.DataFrame(out)
 
-    doc = np.repeat(np.arange(n_rows, dtype=np.int64), n_tok)
-    flat = words.explode().dropna()
-    tok_id, uniq = pd.factorize(flat.to_numpy(), sort=False)
-    tok_id = tok_id.astype(np.int64)
+    n_tok, doc, tok_id, uniq, starts = tok
+    total_toks = int(n_tok.sum())
     ulen = np.fromiter((len(u) for u in uniq), np.int64, count=len(uniq))
     lens = ulen[tok_id]
     cs = np.concatenate(([0], np.cumsum(lens)))  # prefix char sums
-    starts = np.concatenate(([0], np.cumsum(n_tok)))
     pos_in_doc = np.arange(total_toks, dtype=np.int64) - starts[doc]
     doc_len = n_tok[doc]
     total = np.bincount(doc, weights=lens, minlength=n_rows).astype(
@@ -700,16 +724,12 @@ def _window_hashes(df: pd.DataFrame, w: int):
     collision can inflate the candidate set but never the result).
     """
     t = df["text"].fillna("").reset_index(drop=True)
-    words = ascii_token_lists(t)
-    n_tok = words.map(len).to_numpy(dtype=np.int64)
-    total = int(n_tok.sum())
-    if total == 0:
+    tok = _flat_tokens(t)
+    if tok is None:
         return None
-    doc = np.repeat(np.arange(len(t), dtype=np.int64), n_tok)
-    flat = words.explode().dropna()
-    tok_id, uniq = pd.factorize(flat.to_numpy(), sort=False)
+    n_tok, doc, tok_id, uniq, starts = tok
     tok_hash = pd.util.hash_array(uniq.astype(object))[tok_id]
-    starts = np.concatenate(([0], np.cumsum(n_tok)))
+    total = int(n_tok.sum())
     pos_in_doc = np.arange(total, dtype=np.int64) - starts[doc]
     pos = np.nonzero(pos_in_doc <= n_tok[doc] - w)[0]
     acc = np.zeros(len(pos), dtype=np.uint64)
@@ -753,14 +773,17 @@ def dup_span_census(sf_dir: str, w: int = DUP_SPAN_W,
     n_parts = 64
 
     def pass1(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"part": pd.Series(dtype="int64"),
+             "hs": pd.Series(dtype="object"),
+             "nd": pd.Series(dtype="object")}
+        )
         r = _window_hashes(df, w)
         if r is None:
-            return pd.DataFrame(
-                {"part": pd.Series(dtype="int64"),
-                 "hs": pd.Series(dtype="object"),
-                 "nd": pd.Series(dtype="object")}
-            )
+            return empty
         doc_w, _, acc, _, _ = r
+        if not len(acc):  # tokens exist but every doc is shorter than w
+            return empty
         order = np.lexsort((doc_w, acc))
         hs, ds_ = acc[order], doc_w[order]
         new_pair = np.empty(len(hs), dtype=bool)
@@ -795,7 +818,13 @@ def dup_span_census(sf_dir: str, w: int = DUP_SPAN_W,
         .map_groups(reduce1, batch_format="pandas")
         .to_pandas()
     )
-    cand_ref = ray.put(np.sort(cand["h"].to_numpy(dtype=np.uint64)))
+    # zero windows anywhere → the reduce stage never ran, so the frame
+    # keeps pass1's (empty) schema without an 'h' column
+    cand_h = (
+        cand["h"].to_numpy(dtype=np.uint64)
+        if "h" in cand.columns else np.empty(0, dtype=np.uint64)
+    )
+    cand_ref = ray.put(np.sort(cand_h))
 
     def pass2(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -828,7 +857,7 @@ def dup_span_census(sf_dir: str, w: int = DUP_SPAN_W,
             .reset_index(name="n")
         )
         h = pd.util.hash_array(g["span_md5"].to_numpy(dtype=object))
-        g["part"] = (h % 64).astype("int64")
+        g["part"] = (h % n_parts).astype("int64")
         return g
 
     def reduce2(g: pd.DataFrame) -> pd.DataFrame:
@@ -866,8 +895,11 @@ def quality_funnel(sf_dir: str) -> rd.Dataset:
     ds = _read_corpus(sf_dir, ["url", "text"])
 
     def funnel(df: pd.DataFrame) -> pd.DataFrame:
-        g = _gopher_quality_frame(df)
-        r = _gopher_repetition_frame(df)
+        # tokenize + factorize ONCE for the two token batteries (the
+        # single most expensive shared step); c4 is line-shaped
+        tok = _flat_tokens(df["text"].fillna("").reset_index(drop=True))
+        g = _gopher_quality_frame(df, tok=tok)
+        r = _gopher_repetition_frame(df, tok=tok)
         c = _c4_quality_frame(df)
         keep = (
             g["passes_gopher"].to_numpy()

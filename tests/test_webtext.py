@@ -101,10 +101,7 @@ def test_gopher_quality_kernel_semantics(ray_session):
     non-overlapping '...' counting, bullet/ellipsis line accounting over
     non-empty lines only, exact-match stop words, and the integer-only
     pass flag."""
-    import numpy as np
     import ray.data as rd
-
-    from latyas_ray.ops import webtext as w
 
     docs = {
         # 60 words incl stopwords, clean → passes
@@ -120,17 +117,9 @@ def test_gopher_quality_kernel_semantics(ray_session):
     }
     df_in = {"url": list(docs), "text": list(docs.values())}
 
-    import pandas as pd
-
-    out = None
-    # run the map_batches kernel through Ray on an in-memory dataset
-    ds = rd.from_pandas(pd.DataFrame(df_in))
     import latyas_ray.ops.webtext as wt
 
-    # reuse the op's inner kernel via a tiny shim: call gopher_quality's
-    # batch function by monkey-free route — build the same pipeline on the
-    # in-memory ds by copying the op body is overkill; instead just call
-    # the public op on a temp corpus-like parquet
+    # drive the PUBLIC op end-to-end on a temp corpus-shaped parquet
     import os
     import tempfile
 
@@ -216,3 +205,59 @@ def test_dup_span_census_kernel_semantics(ray_session):
     ).hexdigest()
     assert list(out["span_md5"]) == [expect_md5]
     assert out.loc[0, "n_urls"] == 2 and out.loc[0, "n_total"] == 3
+
+
+def test_corpus_has_no_ngram_separator():
+    """The SQL oracles for gopher_repetition / dup_span_census realize
+    n-gram identity as chr(31)-joined tokens; the engine uses the token
+    SEQUENCE.  The two identities coincide iff no token contains a
+    literal 0x1F — pinned here over the whole generated sf0.001 corpus
+    (the generator never emits control characters; see NGRAM_SEP's
+    caveat in ops/webtext.py)."""
+    import glob
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from latyas_ray.corpus import ensure_corpus_for_sf
+
+    corpus = ensure_corpus_for_sf("sf0.001", use_ray="no")
+    for path in sorted(glob.glob(os.path.join(corpus, "pages-*.parquet"))):
+        t = pq.read_table(path, columns=["text"])
+        hits = pc.sum(
+            pc.cast(
+                pc.match_substring(pc.fill_null(t.column("text"), ""), "\x1f"),
+                "int64",
+            )
+        ).as_py()
+        assert not hits, f"chr(31) found in corpus text: {path}"
+
+
+def test_dup_span_census_all_docs_shorter_than_window(ray_session):
+    """Regression: a batch whose docs all have 1..w-1 tokens used to
+    crash pass1 (new_pair[0] on a zero-length window array); it must
+    return an empty census instead."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import latyas_ray.ops.webtext as wt
+
+    docs = {"u1": "one two three", "u2": "x y z", "u3": ""}
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(
+            pa.table({"url": list(docs), "text": list(docs.values())}),
+            os.path.join(td, "pages-00000.parquet"),
+        )
+        base = rd.read_parquet(os.path.join(td, "pages-00000.parquet"))
+        orig = wt._read_corpus
+        wt._read_corpus = lambda sf_dir, columns: base.select_columns(columns)
+        try:
+            out = wt.dup_span_census(td).to_pandas()
+        finally:
+            wt._read_corpus = orig
+    assert len(out) == 0
