@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_users_by_value": _events.events_top_users_by_value,
         "events_props_rollup": _events.events_props_rollup,
         "attribution_asof": _events.attribution_asof,
+        "events_nearby_counts": _events.events_nearby_counts,
         # relational patterns (partial agg, broadcast join)
         "lineitem_pricing_summary": _relational.lineitem_pricing_summary,
         "orders_by_nation": _relational.orders_by_nation,
@@ -507,6 +508,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(c, -1) AS BIGINT) AS click_ts_us, "
             "CAST(CASE WHEN c IS NULL THEN -1 ELSE ts_us - c END AS BIGINT) "
             "AS gap_us FROM w WHERE event_type = 'purchase'"
+        ),
+        # events_nearby_counts: direct interval self-join recompute —
+        # blind to the engine's bucket-replication co-location strategy
+        "events_nearby_counts": (
+            "SELECT a.event_id, CAST(count(*) - 1 AS BIGINT) AS n_nearby "
+            "FROM events a JOIN events b "
+            "ON epoch_us(b.ts) BETWEEN epoch_us(a.ts) - 60000000 "
+            "AND epoch_us(a.ts) + 60000000 "
+            "GROUP BY a.event_id"
         ),
         "sessionize": (
             "WITH d AS (SELECT user_id, ts, "

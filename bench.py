@@ -152,6 +152,7 @@ def run_bench() -> dict:
         "events_top_users_by_value": events.events_top_users_by_value,
         "events_props_rollup": events.events_props_rollup,
         "attribution_asof": events.attribution_asof,
+        "events_nearby_counts": events.events_nearby_counts,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
         "orders_by_nation": relational.orders_by_nation,
         "top_suppliers_by_revenue": relational.top_suppliers_by_revenue,

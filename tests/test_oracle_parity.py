@@ -91,7 +91,7 @@ OPS_QUERIES = [
     "latest_snapshot", "domain_stats", "pii_scrub", "line_repetition",
     "line_dedup", "boilerplate_strip", "gopher_quality",
     "gopher_repetition", "c4_quality", "dup_span_census",
-    "quality_funnel", "attribution_asof",
+    "quality_funnel", "attribution_asof", "events_nearby_counts",
 ]
 
 
