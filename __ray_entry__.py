@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_repetition": _webtext.gopher_repetition,
         "c4_quality": _webtext.c4_quality,
         "dup_span_census": _webtext.dup_span_census,
+        "dup_span_stats": _webtext.dup_span_stats,
         "quality_funnel": _webtext.quality_funnel,
         # dedup family
         "dedup_exact": _dedup.dedup_exact,
@@ -380,6 +381,36 @@ def _dup_span_sql(w: int = 10, min_urls: int = 2) -> str:
         "AS n_urls, CAST(count(*) AS BIGINT) AS n_total "
         "FROM gm GROUP BY span_md5) "
         f"SELECT span_md5, n_urls, n_total FROM c WHERE n_urls >= {min_urls}"
+    )
+
+
+def _dup_span_stats_sql(w: int = 10, min_urls: int = 2) -> str:
+    """Independent recompute of ``dup_span_stats``: the same lead-window
+    md5 construction as ``_dup_span_sql``, then per-url window counts
+    with a HAVING-count census subquery — blind to the engine's
+    candidate-prefilter + broadcast-dict shape."""
+    leads = ", ".join(
+        f"lead(w, {k}) OVER (PARTITION BY url ORDER BY i) AS w{k}"
+        for k in range(1, w)
+    )
+    ng = " || chr(31) || ".join(["w"] + [f"w{k}" for k in range(1, w)])
+    return (
+        "WITH d AS (SELECT url, coalesce(text, '') AS text "
+        f"FROM read_parquet('{_webtext.corpus_glob(_GOLDEN_SF)}')), "
+        "t AS (SELECT url, regexp_extract_all(text, '\\S+') AS toks FROM d), "
+        "wp AS (SELECT url, unnest(toks) AS w, "
+        "generate_subscripts(toks, 1) AS i FROM t), "
+        f"wo AS (SELECT url, w, {leads} FROM wp), "
+        f"gm AS (SELECT url, md5({ng}) AS span_md5 FROM wo "
+        f"WHERE w{w - 1} IS NOT NULL), "
+        "cen AS (SELECT span_md5 FROM gm GROUP BY span_md5 "
+        f"HAVING count(DISTINCT url) >= {min_urls}), "
+        "wu AS (SELECT url, CAST(count(*) AS BIGINT) AS n_windows, "
+        "CAST(count(*) FILTER (span_md5 IN (SELECT span_md5 FROM cen)) "
+        "AS BIGINT) AS n_dup_windows FROM gm GROUP BY url) "
+        "SELECT d.url, coalesce(wu.n_windows, 0) AS n_windows, "
+        "coalesce(wu.n_dup_windows, 0) AS n_dup_windows "
+        "FROM d LEFT JOIN wu USING (url)"
     )
 
 
@@ -776,6 +807,7 @@ def oracle_sql() -> dict[str, str]:
         # dup_span_census: full lead-window md5 recompute — no prefilter,
         # so the oracle is blind to the op's cheap-hash candidacy pass
         "dup_span_census": _dup_span_sql(),
+        "dup_span_stats": _dup_span_stats_sql(),
         # c4_quality: line rules + page flags recomputed in SQL; kept-line
         # reconstruction via string_agg(ORDER BY ord) FILTER, digests md5
         "c4_quality": (

@@ -194,6 +194,7 @@ def run_bench() -> dict:
     op_fns["gopher_repetition"] = webtext.gopher_repetition
     op_fns["c4_quality"] = webtext.c4_quality
     op_fns["dup_span_census"] = webtext.dup_span_census
+    op_fns["dup_span_stats"] = webtext.dup_span_stats
     op_fns["quality_funnel"] = webtext.quality_funnel
     if skip_queries:
         op_fns = {}

@@ -740,6 +740,94 @@ def _window_hashes(df: pd.DataFrame, w: int):
     return doc[pos], pos, acc, tok_id, uniq
 
 
+def _dup_span_pass1(df: pd.DataFrame, w: int, n_parts: int) -> pd.DataFrame:
+    """Candidate pass shared by ``dup_span_census`` / ``dup_span_stats``:
+    distinct (window-cheap-hash, doc) pairs packed per coarse partition
+    as two binary blobs — sorted uint64 hashes + int32 distinct-doc
+    counts — so the exchange is O(tasks × n_parts) blob rows, never one
+    row per window."""
+    empty = pd.DataFrame(
+        {"part": pd.Series(dtype="int64"),
+         "hs": pd.Series(dtype="object"),
+         "nd": pd.Series(dtype="object")}
+    )
+    r = _window_hashes(df, w)
+    if r is None:
+        return empty
+    doc_w, _, acc, _, _ = r
+    if not len(acc):  # tokens exist but every doc is shorter than w
+        return empty
+    order = np.lexsort((doc_w, acc))
+    hs, ds_ = acc[order], doc_w[order]
+    new_pair = np.empty(len(hs), dtype=bool)
+    new_pair[0] = True
+    new_pair[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+    uh, nd = np.unique(hs[new_pair], return_counts=True)
+    part = (uh % np.uint64(n_parts)).astype(np.int64)
+    porder = np.argsort(part, kind="stable")
+    uh, nd, part = uh[porder], nd[porder], part[porder]
+    bounds = np.searchsorted(part, np.arange(n_parts + 1))
+    rows = {"part": [], "hs": [], "nd": []}
+    for p in range(n_parts):
+        lo, hi = bounds[p], bounds[p + 1]
+        if lo == hi:
+            continue
+        rows["part"].append(p)
+        rows["hs"].append(uh[lo:hi].tobytes())
+        rows["nd"].append(nd[lo:hi].astype(np.int32).tobytes())
+    return pd.DataFrame(rows)
+
+
+def _dup_span_reduce1(g: pd.DataFrame, min_urls: int) -> pd.DataFrame:
+    allh = np.frombuffer(b"".join(g["hs"]), dtype=np.uint64)
+    allnd = np.frombuffer(b"".join(g["nd"]), dtype=np.int32)
+    uh, inv = np.unique(allh, return_inverse=True)
+    totals = np.bincount(inv, weights=allnd.astype(np.float64))
+    return pd.DataFrame({"h": uh[totals >= min_urls]})
+
+
+def _dup_span_pass2(df: pd.DataFrame, w: int, n_parts: int,
+                    cand_ref) -> pd.DataFrame:
+    """md5 pass shared by the census and the per-url stats: build the
+    public md5 identity ONLY for windows whose cheap hash is in the
+    broadcast candidate set, emit (span_md5, url, n) partials keyed by a
+    coarse md5 hash."""
+    import ray
+
+    empty = pd.DataFrame(
+        {"span_md5": pd.Series(dtype="object"),
+         "url": pd.Series(dtype="object"),
+         "n": pd.Series(dtype="int64"),
+         "part": pd.Series(dtype="int64")}
+    )
+    r = _window_hashes(df, w)
+    if r is None:
+        return empty
+    doc_w, pos, acc, tok_id, uniq = r
+    cand_h = ray.get(cand_ref)
+    m = np.nonzero(np.isin(acc, cand_h, assume_unique=False))[0]
+    if not len(m):
+        return empty
+    urls = df["url"].reset_index(drop=True).to_numpy()
+    digs = [
+        hashlib.md5(
+            NGRAM_SEP.join(
+                uniq[tok_id[p0 + j]] for j in range(w)
+            ).encode("utf-8")
+        ).hexdigest()
+        for p0 in pos[m]
+    ]
+    g = (
+        pd.DataFrame({"span_md5": digs, "url": urls[doc_w[m]]})
+        .groupby(["span_md5", "url"], sort=False)
+        .size()
+        .reset_index(name="n")
+    )
+    h = pd.util.hash_array(g["span_md5"].to_numpy(dtype=object))
+    g["part"] = (h % n_parts).astype("int64")
+    return g
+
+
 def dup_span_census(sf_dir: str, w: int = DUP_SPAN_W,
                     min_urls: int = 2) -> rd.Dataset:
     """Cross-document duplicated token-span census: every ``w``-token
@@ -773,43 +861,10 @@ def dup_span_census(sf_dir: str, w: int = DUP_SPAN_W,
     n_parts = 64
 
     def pass1(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"part": pd.Series(dtype="int64"),
-             "hs": pd.Series(dtype="object"),
-             "nd": pd.Series(dtype="object")}
-        )
-        r = _window_hashes(df, w)
-        if r is None:
-            return empty
-        doc_w, _, acc, _, _ = r
-        if not len(acc):  # tokens exist but every doc is shorter than w
-            return empty
-        order = np.lexsort((doc_w, acc))
-        hs, ds_ = acc[order], doc_w[order]
-        new_pair = np.empty(len(hs), dtype=bool)
-        new_pair[0] = True
-        new_pair[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
-        uh, nd = np.unique(hs[new_pair], return_counts=True)
-        part = (uh % np.uint64(n_parts)).astype(np.int64)
-        porder = np.argsort(part, kind="stable")
-        uh, nd, part = uh[porder], nd[porder], part[porder]
-        bounds = np.searchsorted(part, np.arange(n_parts + 1))
-        rows = {"part": [], "hs": [], "nd": []}
-        for p in range(n_parts):
-            lo, hi = bounds[p], bounds[p + 1]
-            if lo == hi:
-                continue
-            rows["part"].append(p)
-            rows["hs"].append(uh[lo:hi].tobytes())
-            rows["nd"].append(nd[lo:hi].astype(np.int32).tobytes())
-        return pd.DataFrame(rows)
+        return _dup_span_pass1(df, w, n_parts)
 
     def reduce1(g: pd.DataFrame) -> pd.DataFrame:
-        allh = np.frombuffer(b"".join(g["hs"]), dtype=np.uint64)
-        allnd = np.frombuffer(b"".join(g["nd"]), dtype=np.int32)
-        uh, inv = np.unique(allh, return_inverse=True)
-        totals = np.bincount(inv, weights=allnd.astype(np.float64))
-        return pd.DataFrame({"h": uh[totals >= min_urls]})
+        return _dup_span_reduce1(g, min_urls)
 
     ds = _read_corpus(sf_dir, ["url", "text"])
     cand = (
@@ -827,38 +882,7 @@ def dup_span_census(sf_dir: str, w: int = DUP_SPAN_W,
     cand_ref = ray.put(np.sort(cand_h))
 
     def pass2(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"span_md5": pd.Series(dtype="object"),
-             "url": pd.Series(dtype="object"),
-             "n": pd.Series(dtype="int64"),
-             "part": pd.Series(dtype="int64")}
-        )
-        r = _window_hashes(df, w)
-        if r is None:
-            return empty
-        doc_w, pos, acc, tok_id, uniq = r
-        cand_h = ray.get(cand_ref)
-        m = np.nonzero(np.isin(acc, cand_h, assume_unique=False))[0]
-        if not len(m):
-            return empty
-        urls = df["url"].reset_index(drop=True).to_numpy()
-        digs = [
-            hashlib.md5(
-                NGRAM_SEP.join(
-                    uniq[tok_id[p0 + j]] for j in range(w)
-                ).encode("utf-8")
-            ).hexdigest()
-            for p0 in pos[m]
-        ]
-        g = (
-            pd.DataFrame({"span_md5": digs, "url": urls[doc_w[m]]})
-            .groupby(["span_md5", "url"], sort=False)
-            .size()
-            .reset_index(name="n")
-        )
-        h = pd.util.hash_array(g["span_md5"].to_numpy(dtype=object))
-        g["part"] = (h % n_parts).astype("int64")
-        return g
+        return _dup_span_pass2(df, w, n_parts, cand_ref)
 
     def reduce2(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby("span_md5", as_index=False).agg(
@@ -915,3 +939,85 @@ def quality_funnel(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(funnel, batch_format="pandas", batch_size=512)
+
+
+# ---------------------------------------------------------- dup_span_stats
+
+
+def dup_span_stats(sf_dir: str, w: int = DUP_SPAN_W,
+                   min_urls: int = 2) -> rd.Dataset:
+    """Per-document consumer of the duplicated-span census: (url,
+    n_windows, n_dup_windows) — how much of each document sits inside a
+    span shared with another document, the signal an exact-substring
+    dedup pass thresholds on.
+
+    Same two-pass candidate machinery as ``dup_span_census``, but the
+    md5-partition reduce resolves the census LOCALLY (each span_md5's
+    occurrences are co-located) and emits per-url duplicated-window
+    partial counts — bounded by documents that actually share spans, so
+    the driver-side dict is O(contaminated urls), broadcast once (the
+    ``boilerplate_strip`` pattern).  The final pass is map-only: window
+    count per url from token counts, dup count from the broadcast dict;
+    one row per url streams out, nothing corpus-sized ever sits on the
+    driver.
+    """
+    import ray
+
+    n_parts = 64
+
+    def pass1(df: pd.DataFrame) -> pd.DataFrame:
+        return _dup_span_pass1(df, w, n_parts)
+
+    def reduce1(g: pd.DataFrame) -> pd.DataFrame:
+        return _dup_span_reduce1(g, min_urls)
+
+    ds = _read_corpus(sf_dir, ["url", "text"])
+    cand = (
+        ds.map_batches(pass1, batch_format="pandas", batch_size=1024)
+        .groupby("part")
+        .map_groups(reduce1, batch_format="pandas")
+        .to_pandas()
+    )
+    cand_h = (
+        cand["h"].to_numpy(dtype=np.uint64)
+        if "h" in cand.columns else np.empty(0, dtype=np.uint64)
+    )
+    cand_ref = ray.put(np.sort(cand_h))
+
+    def pass2(df: pd.DataFrame) -> pd.DataFrame:
+        return _dup_span_pass2(df, w, n_parts, cand_ref)
+
+    def reduce_url(g: pd.DataFrame) -> pd.DataFrame:
+        cen = g.groupby("span_md5")["url"].nunique()
+        dup = cen.index[cen >= min_urls]
+        m = g[g["span_md5"].isin(dup)]
+        out = m.groupby("url", as_index=False)["n"].sum()
+        return out.rename(columns={"n": "nd"})
+
+    partials = (
+        ds.map_batches(pass2, batch_format="pandas", batch_size=1024)
+        .groupby("part")
+        .map_groups(reduce_url, batch_format="pandas")
+        .to_pandas()
+    )
+    if "url" in partials.columns and len(partials):
+        dup_counts = partials.groupby("url")["nd"].sum().to_dict()
+    else:
+        dup_counts = {}
+    dup_ref = ray.put(dup_counts)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        counts = ray.get(dup_ref)
+        t = df["text"].fillna("").reset_index(drop=True)
+        n_tok = ascii_token_lists(t).map(len).to_numpy(dtype=np.int64)
+        n_windows = np.maximum(n_tok - w + 1, 0)
+        urls = df["url"].reset_index(drop=True)
+        return pd.DataFrame(
+            {"url": urls,
+             "n_windows": n_windows.astype(np.int64),
+             "n_dup_windows": urls.map(
+                 lambda u: counts.get(u, 0)
+             ).to_numpy(dtype=np.int64)}
+        )
+
+    return ds.map_batches(finalize, batch_format="pandas", batch_size=2048)

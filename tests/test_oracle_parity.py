@@ -92,6 +92,7 @@ OPS_QUERIES = [
     "line_dedup", "boilerplate_strip", "gopher_quality",
     "gopher_repetition", "c4_quality", "dup_span_census",
     "quality_funnel", "attribution_asof", "events_nearby_counts",
+    "dup_span_stats",
 ]
 
 
