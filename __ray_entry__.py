@@ -356,13 +356,12 @@ def _gopher_repetition_sql() -> str:
     )
 
 
-def _dup_span_sql(w: int = 10, min_urls: int = 2) -> str:
-    """Independent recompute of ``dup_span_census``: the same linear
-    lead()-window construction as ``_gopher_repetition_sql`` (one window
-    per token position, NULL-propagating '||' keeps partial windows out),
-    but the window identity is ``md5`` of the chr(31)-joined tokens —
-    matching the op's PUBLIC key, not its internal cheap-hash prefilter,
-    so the two sides share only the pinned tokenizer + join + md5."""
+def _span_window_ctes(w: int) -> str:
+    """The shared lead()-window md5 span-identity construction (one
+    window per token position, NULL-propagating '||' keeps partial
+    windows out of ``gm``).  ONE definition: ``_dup_span_sql`` and
+    ``_dup_span_stats_sql`` must agree on what a span IS, so the CTE
+    chain ending in ``gm(url, span_md5)`` lives here."""
     leads = ", ".join(
         f"lead(w, {k}) OVER (PARTITION BY url ORDER BY i) AS w{k}"
         for k in range(1, w)
@@ -376,8 +375,18 @@ def _dup_span_sql(w: int = 10, min_urls: int = 2) -> str:
         "generate_subscripts(toks, 1) AS i FROM t), "
         f"wo AS (SELECT url, w, {leads} FROM wp), "
         f"gm AS (SELECT url, md5({ng}) AS span_md5 FROM wo "
-        f"WHERE w{w - 1} IS NOT NULL), "
-        "c AS (SELECT span_md5, CAST(count(DISTINCT url) AS BIGINT) "
+        f"WHERE w{w - 1} IS NOT NULL)"
+    )
+
+
+def _dup_span_sql(w: int = 10, min_urls: int = 2) -> str:
+    """Independent recompute of ``dup_span_census`` over the shared span
+    identity: the window is ``md5`` of the chr(31)-joined tokens —
+    matching the op's PUBLIC key, not its internal cheap-hash prefilter,
+    so the two sides share only the pinned tokenizer + join + md5."""
+    return (
+        _span_window_ctes(w)
+        + ", c AS (SELECT span_md5, CAST(count(DISTINCT url) AS BIGINT) "
         "AS n_urls, CAST(count(*) AS BIGINT) AS n_total "
         "FROM gm GROUP BY span_md5) "
         f"SELECT span_md5, n_urls, n_total FROM c WHERE n_urls >= {min_urls}"
@@ -385,25 +394,13 @@ def _dup_span_sql(w: int = 10, min_urls: int = 2) -> str:
 
 
 def _dup_span_stats_sql(w: int = 10, min_urls: int = 2) -> str:
-    """Independent recompute of ``dup_span_stats``: the same lead-window
-    md5 construction as ``_dup_span_sql``, then per-url window counts
-    with a HAVING-count census subquery — blind to the engine's
-    candidate-prefilter + broadcast-dict shape."""
-    leads = ", ".join(
-        f"lead(w, {k}) OVER (PARTITION BY url ORDER BY i) AS w{k}"
-        for k in range(1, w)
-    )
-    ng = " || chr(31) || ".join(["w"] + [f"w{k}" for k in range(1, w)])
+    """Independent recompute of ``dup_span_stats``: the shared span
+    identity, then per-url window counts with a HAVING-count census
+    subquery — blind to the engine's candidate-prefilter +
+    broadcast-dict shape."""
     return (
-        "WITH d AS (SELECT url, coalesce(text, '') AS text "
-        f"FROM read_parquet('{_webtext.corpus_glob(_GOLDEN_SF)}')), "
-        "t AS (SELECT url, regexp_extract_all(text, '\\S+') AS toks FROM d), "
-        "wp AS (SELECT url, unnest(toks) AS w, "
-        "generate_subscripts(toks, 1) AS i FROM t), "
-        f"wo AS (SELECT url, w, {leads} FROM wp), "
-        f"gm AS (SELECT url, md5({ng}) AS span_md5 FROM wo "
-        f"WHERE w{w - 1} IS NOT NULL), "
-        "cen AS (SELECT span_md5 FROM gm GROUP BY span_md5 "
+        _span_window_ctes(w)
+        + ", cen AS (SELECT span_md5 FROM gm GROUP BY span_md5 "
         f"HAVING count(DISTINCT url) >= {min_urls}), "
         "wu AS (SELECT url, CAST(count(*) AS BIGINT) AS n_windows, "
         "CAST(count(*) FILTER (span_md5 IN (SELECT span_md5 FROM cen)) "

@@ -331,10 +331,10 @@ def events_nearby_counts(sf_dir: str, window_s: int = 60) -> pd.DataFrame:
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for bucket, gb in g.groupby("bucket", sort=False):
-            # distinct events visible to this bucket (home + neighbors)
-            ev = gb.drop_duplicates("event_id").sort_values(
-                ["ts_us", "event_id"]
-            )
+            # every event appears at most once per bucket group (home in
+            # its own bucket, +1 copy only from bucket-1, -1 copy only
+            # from bucket+1 — mutually exclusive), so no dedup is needed
+            ev = gb.sort_values(["ts_us", "event_id"])
             ts = ev["ts_us"].to_numpy(dtype=np.int64)
             home = gb[gb["is_home"] == 1]
             h_ts = home["ts_us"].to_numpy(dtype=np.int64)

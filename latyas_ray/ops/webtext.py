@@ -50,7 +50,7 @@ import ray.data as rd
 
 from ..corpus import ensure_corpus_for_sf, sf_label_from_dir
 from .common import GOPHER_STOPWORDS as _GOPHER_STOPWORDS
-from .common import TOKEN_RE, ascii_token_lists
+from .common import TOKEN_RE, WS_RE, ascii_token_lists
 
 # RE2-safe ASCII patterns, shared verbatim with the SQL oracles.  The
 # Python side MUST compile with re.ASCII: RE2's \b and \d are ASCII-only,
@@ -384,8 +384,10 @@ def _flat_tokens(t: pd.Series):
     batches, with a byte-identical token stream (splitting on
     ``WS_RE+`` and dropping empties ≡ ``findall(TOKEN_RE)``; boundary
     empties are the only artifacts and are filtered)."""
-    arr = pa.array(t.to_numpy(), type=pa.string())
-    lists = pc.split_pattern_regex(arr, pattern="[\t\n\f\r ]+")
+    # tolerate raw (nullable) text like the pandas path did — a NaN len
+    # would otherwise cast to a negative int and blow up np.repeat
+    arr = pc.fill_null(pa.array(t.to_numpy(), type=pa.string()), "")
+    lists = pc.split_pattern_regex(arr, pattern=WS_RE + "+")
     lens = pc.list_value_length(lists).to_numpy(
         zero_copy_only=False
     ).astype(np.int64)
@@ -1025,7 +1027,9 @@ def dup_span_stats(sf_dir: str, w: int = DUP_SPAN_W,
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         counts = ray.get(dup_ref)
         t = df["text"].fillna("").reset_index(drop=True)
-        n_tok = ascii_token_lists(t).map(len).to_numpy(dtype=np.int64)
+        # count-only pass: no token-list materialization, just the
+        # vectorized occurrence count of the pinned token class
+        n_tok = t.str.count(TOKEN_RE).to_numpy(dtype=np.int64)
         n_windows = np.maximum(n_tok - w + 1, 0)
         urls = df["url"].reset_index(drop=True)
         return pd.DataFrame(

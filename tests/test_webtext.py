@@ -280,10 +280,6 @@ def test_gopher_repetition_adversarial_vs_duckdb(ray_session):
     import ray.data as rd
 
     import latyas_ray.ops.webtext as wt
-    from latyas_ray.ops.webtext import (
-        GOPHER_DUP_NGRAM_CAPS,
-        GOPHER_TOP_NGRAM_CAPS,
-    )
 
     rng = random.Random("adversarial-ngram/1")
     vocab = ["a", "bb", "ccc", "the", "of", "#", "...", "x....y", "zz"]
@@ -312,56 +308,15 @@ def test_gopher_repetition_adversarial_vs_duckdb(ray_session):
         finally:
             wt._read_corpus = orig
 
-        leads = ", ".join(
-            f"lead(w, {k}) OVER (PARTITION BY url ORDER BY i) AS w{k}"
-            for k in range(1, 10)
-        )
-        ctes = [
-            f"d AS (SELECT url, coalesce(text, '') AS text "
-            f"FROM read_parquet('{path}'))",
-            "t AS (SELECT url, regexp_extract_all(text, '\\S+') AS toks "
-            "FROM d)",
-            "wp AS (SELECT url, unnest(toks) AS w, "
-            "generate_subscripts(toks, 1) AS i FROM t)",
-            "wa AS (SELECT url, CAST(sum(length(w)) AS BIGINT) AS swc "
-            "FROM wp GROUP BY url)",
-            f"wo AS (SELECT url, w, {leads} FROM wp)",
-        ]
-        sel = ["d.url", "coalesce(wa.swc, 0) AS sum_word_chars"]
-        joins = ["LEFT JOIN wa USING (url)"]
-        rules = []
-        for n in range(2, 11):
-            col = f"top{n}_chars" if n <= 4 else f"dup{n}_chars"
-            agg = ("max(c * nch)" if n <= 4
-                   else "sum(CASE WHEN c >= 2 THEN c * nch ELSE 0 END)")
-            ng = " || chr(31) || ".join(
-                ["w"] + [f"w{k}" for k in range(1, n)]
-            )
-            ctes.append(
-                f"g{n} AS (SELECT url, {ng} AS ng FROM wo "
-                f"WHERE w{n - 1} IS NOT NULL)"
-            )
-            ctes.append(
-                f"c{n} AS (SELECT url, ng, count(*) AS c, "
-                f"length(ng) - {n - 1} AS nch FROM g{n} GROUP BY url, ng)"
-            )
-            ctes.append(
-                f"a{n} AS (SELECT url, CAST({agg} AS BIGINT) AS v "
-                f"FROM c{n} GROUP BY url)"
-            )
-            sel.append(f"coalesce(a{n}.v, 0) AS {col}")
-            joins.append(f"LEFT JOIN a{n} USING (url)")
-            cap = (GOPHER_TOP_NGRAM_CAPS if n <= 4
-                   else GOPHER_DUP_NGRAM_CAPS)[n]
-            rules.append(
-                f"100 * coalesce(a{n}.v, 0) <= {cap} * coalesce(wa.swc, 0)"
-            )
-        sel.append(
-            "CAST(CASE WHEN " + " AND ".join(rules)
-            + " THEN 1 ELSE 0 END AS BIGINT) AS passes_repetition"
-        )
-        sql = ("WITH " + ", ".join(ctes) + " SELECT " + ", ".join(sel)
-               + " FROM d " + " ".join(joins) + " ORDER BY url")
+        # THE production oracle builder, retargeted at the temp shard —
+        # an inline copy of the SQL would silently drift if the pinned
+        # construction ever changes
+        import __ray_entry__ as entry
+
+        sql = entry._gopher_repetition_sql().replace(
+            wt.corpus_glob(entry._GOLDEN_SF), path
+        ) + " ORDER BY url"
+        assert path in sql  # the retarget actually happened
         ora = duckdb.connect().execute(sql).df()
 
     eng = eng.sort_values("url").reset_index(drop=True)[list(ora.columns)]
