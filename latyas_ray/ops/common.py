@@ -72,6 +72,25 @@ def read_table(sf_dir: str, name: str, columns: Optional[List[str]] = None) -> r
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
+def cluster_pool_width(reserve: int = 4, floor: int = 4) -> int:
+    """Upper bound for an embarrassingly-parallel actor pool: cluster CPUs
+    minus a ``reserve`` left free for the read/regroup stages feeding the
+    pool (a pool holding EVERY CPU deadlocks a small local cluster and
+    serializes block movement on a big one — round-1 finding).  Falls
+    back to ``floor`` when Ray isn't initialised yet; scales with the
+    cluster, so the same pipeline code sizes itself on a 4-CPU test
+    fixture and a 256-node job."""
+    avail = 0
+    try:
+        import ray
+
+        if ray.is_initialized():
+            avail = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        pass
+    return max(floor, avail - reserve) if avail else floor
+
+
 def merge_partials(
     partials: rd.Dataset,
     keys: List[str],

@@ -50,7 +50,7 @@ import ray.data as rd
 
 from ..corpus import ensure_corpus_for_sf, sf_label_from_dir
 from .common import GOPHER_STOPWORDS as _GOPHER_STOPWORDS
-from .common import TOKEN_RE, WS_RE, ascii_token_lists
+from .common import TOKEN_RE, WS_RE
 
 # RE2-safe ASCII patterns, shared verbatim with the SQL oracles.  The
 # Python side MUST compile with re.ASCII: RE2's \b and \d are ASCII-only,
@@ -384,9 +384,13 @@ def _flat_tokens(t: pd.Series):
     batches, with a byte-identical token stream (splitting on
     ``WS_RE+`` and dropping empties ≡ ``findall(TOKEN_RE)``; boundary
     empties are the only artifacts and are filtered)."""
-    # tolerate raw (nullable) text like the pandas path did — a NaN len
-    # would otherwise cast to a negative int and blow up np.repeat
-    arr = pc.fill_null(pa.array(t.to_numpy(), type=pa.string()), "")
+    # tolerate raw (nullable) text like the pandas path did — from_pandas
+    # maps float NaN to Arrow null (a plain pa.array(...) raises
+    # ArrowTypeError on NaN before fill_null could run), then fill_null
+    # makes it ''
+    arr = pc.fill_null(
+        pa.array(t.to_numpy(), type=pa.string(), from_pandas=True), ""
+    )
     lists = pc.split_pattern_regex(arr, pattern=WS_RE + "+")
     lens = pc.list_value_length(lists).to_numpy(
         zero_copy_only=False

@@ -655,6 +655,7 @@ def _oracle_semantic_reflow(sf_dir: str) -> pa.Table:
 
     from .corpus import ensure_corpus_for_sf, sf_label_from_dir
     from .extract import extract_one
+    from .functions.semantic_reflow import SEM_REFLOW_MAX_REGIONS
 
     def _margin(lhs: str, rhs: str) -> float:
         h = _hashlib.blake2b(
@@ -675,9 +676,10 @@ def _oracle_semantic_reflow(sf_dir: str) -> pa.Table:
 
     def _nsp_loop(rects, texts, position_blocks, threshold=3):
         # bert_reflow.py:19-53, with the model call replaced by _margin.
-        # Region cap mirrored from functions/semantic_reflow.py
-        # (SEM_REFLOW_MAX_REGIONS): oversized pages keep the seed order.
-        if len(position_blocks) > 256:
+        # Region cap is the SHARED CONFIG constant (not part of the
+        # algorithm's independence argument): oversized pages keep the
+        # seed order.
+        if len(position_blocks) > SEM_REFLOW_MAX_REGIONS:
             return position_blocks
         for bbox_i in range(len(position_blocks)):
             for bbox_j in range(bbox_i, len(position_blocks)):

@@ -28,15 +28,18 @@ class TexMixStage:
         return pd.DataFrame({"doc_id": ids.to_numpy(), "mixed_text": texts})
 
 
-def texmix_recognize(sf_dir: str, concurrency=(1, 4)) -> rd.Dataset:
+def texmix_recognize(sf_dir: str, concurrency=None) -> rd.Dataset:
     """(doc_id, mixed_text) for one synthetic mixed text+equation page
-    per document."""
+    per document.  Pool scales with the cluster by default (map-only,
+    per-document work — same sizing rationale as semantic reflow)."""
+    from ..ops.common import cluster_pool_width
+
     ds = read_table(sf_dir, "documents", columns=["doc_id"])
     return ds.map_batches(
         TexMixStage,
         batch_format="pandas",
         batch_size=64,
-        concurrency=concurrency,
+        concurrency=concurrency or (1, cluster_pool_width()),
     )
 
 
