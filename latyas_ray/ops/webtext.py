@@ -305,34 +305,60 @@ def boilerplate_strip(sf_dir: str, min_urls: int = 10) -> rd.Dataset:
     census: drop every non-empty line whose digest appears in ≥
     ``min_urls`` distinct documents, keep the rest in original order.
 
-    Two-pass broadcast shape: pass 1 computes the removal set (the
-    ``min_urls`` filter runs inside the census reduce, so only the
-    high-document-frequency survivors — boilerplate by definition, a
-    bounded set for any sane threshold — reach the driver); the set is
-    ``ray.put`` ONCE and read from the local object store in every map
-    task, never re-shipped per batch.  Pass 2 is map-only.
+    Two-pass SHARDED-broadcast shape: pass 1 computes the removal set
+    (the ``min_urls`` filter runs inside the census reduce, so only the
+    high-document-frequency survivors — boilerplate by definition —
+    survive), re-keys it by digest hash into per-part sorted blobs, and
+    `_shard_refs` turns those into per-part object refs: the driver
+    holds one slice at a time, map tasks fetch only the slices their
+    batch touches (node-cached, zero-copy).  On a crawl corpus the
+    boilerplate census is O(duplicated lines) — far too large for a
+    single driver-side frozenset.  Pass 2 is map-only.
 
     Output: (url, n_removed, clean_md5) — the md5 of the cleaned text
     keeps the oracle compare exact without moving full text twice.
     """
-    import ray
+    n_parts = 64
 
-    census = line_dedup(sf_dir, min_count=2, min_urls=min_urls).to_pandas()
-    removal_ref = ray.put(frozenset(census["line_md5"]))
+    def to_part(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(df["line_md5"].to_numpy(dtype=object))
+        return pd.DataFrame(
+            {"line_md5": df["line_md5"],
+             "part": (h % n_parts).astype("int64")}
+        )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        keys = np.sort(g["line_md5"].to_numpy(dtype="S32"))
+        return pd.DataFrame(
+            {"part": [int(g["part"].iloc[0])], "md5s": [keys.tobytes()]}
+        )
+
+    removal_refs = _shard_refs(
+        line_dedup(sf_dir, min_count=2, min_urls=min_urls)
+        .select_columns(["line_md5"])
+        .map_batches(to_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(pack, batch_format="pandas"),
+        n_parts,
+        lambda row: np.frombuffer(row["md5s"], dtype="S32"),
+    )
 
     ds = _read_corpus(sf_dir, ["url", "text"])
 
     def strip(df: pd.DataFrame) -> pd.DataFrame:
-        rset = ray.get(removal_ref)
         lines = (
             df.set_index("url")["text"].fillna("").str.split("\n").explode()
             .rename("line").reset_index()
         )
-        uniq = {
-            s: hashlib.md5(s.encode("utf-8")).hexdigest()
-            for s in lines["line"].unique()
-        }
-        rm = (lines["line"] != "") & lines["line"].map(uniq).isin(rset)
+        uniq_lines = lines["line"].unique()
+        md5s = np.array(
+            [hashlib.md5(s.encode("utf-8")).hexdigest() for s in uniq_lines],
+            dtype=object,
+        )
+        parts = (pd.util.hash_array(md5s) % n_parts).astype(np.int64)
+        inset = _sharded_isin(md5s.astype("S32"), parts, removal_refs)
+        in_removal = dict(zip(uniq_lines, inset))
+        rm = (lines["line"] != "") & lines["line"].map(in_removal).astype(bool)
         n_removed = (
             rm.groupby(lines["url"], sort=False).sum().rename("n_removed")
         )
@@ -762,6 +788,63 @@ def _window_hashes(df: pd.DataFrame, w: int):
     return doc[pos], pos, acc, tok_id, uniq
 
 
+# ------------------------------------------------ sharded broadcast sets
+#
+# The census consumers (dup_span_census / dup_span_stats pass 2,
+# boilerplate_strip) need a map-side membership test against a set that
+# is O(duplicated content) — a large fraction of a real crawl corpus, so
+# a single driver-side `ray.put(whole_set)` is a scale-killer (VERDICT
+# r3 #2).  Instead the set stays PARTITIONED by the same coarse hash its
+# producing shuffle already used: each partition's reduce packs its
+# slice as one sorted binary blob, the driver streams the packed rows
+# and `ray.put`s one slice at a time (peak driver heap = ONE slice ≈
+# total/n_parts), and map tasks fetch only the slices their batch
+# touches.  Fetched slices are plasma-backed zero-copy numpy views and
+# node-cached, so a slice ships to each NODE at most once — the torrent-
+# broadcast shape, without any corpus-proportional driver array.
+
+
+def _shard_refs(packed: rd.Dataset, n_parts: int, unpack) -> list:
+    """Stream a packed per-partition dataset — at most one row per
+    ``part`` in [0, n_parts) — into a list of per-part object refs.
+    ``unpack(row)`` decodes one row's blob(s) into the slice object
+    (decoded driver-side so plasma stores numpy, giving workers
+    zero-copy reads).  Missing parts stay ``None`` (empty slice)."""
+    import ray
+
+    refs: list = [None] * n_parts
+    for row in packed.iter_rows():
+        refs[int(row["part"])] = ray.put(unpack(row))
+    return refs
+
+
+def _sorted_isin(vals: np.ndarray, sl) -> np.ndarray:
+    """Membership of ``vals`` in a SORTED slice via searchsorted — the
+    slice is a read-only plasma view, np.isin would copy it."""
+    out = np.zeros(len(vals), dtype=bool)
+    if sl is None or not len(sl):
+        return out
+    idx = np.searchsorted(sl, vals)
+    ok = idx < len(sl)
+    out[ok] = sl[idx[ok]] == vals[ok]
+    return out
+
+
+def _sharded_isin(vals: np.ndarray, parts: np.ndarray, refs: list) -> np.ndarray:
+    """``vals[i] ∈ slice(refs[parts[i]])``, fetching only the slices
+    present in this batch."""
+    import ray
+
+    out = np.zeros(len(vals), dtype=bool)
+    for p in np.unique(parts):
+        ref = refs[int(p)]
+        if ref is None:
+            continue
+        sel = parts == p
+        out[sel] = _sorted_isin(vals[sel], ray.get(ref))
+    return out
+
+
 def _dup_span_pass1(df: pd.DataFrame, w: int, n_parts: int) -> pd.DataFrame:
     """Candidate pass shared by ``dup_span_census`` / ``dup_span_stats``:
     distinct (window-cheap-hash, doc) pairs packed per coarse partition
@@ -801,21 +884,46 @@ def _dup_span_pass1(df: pd.DataFrame, w: int, n_parts: int) -> pd.DataFrame:
 
 
 def _dup_span_reduce1(g: pd.DataFrame, min_urls: int) -> pd.DataFrame:
+    """Per-part candidate reduce: ONE output row per part carrying the
+    part's sorted candidate hashes as a packed blob (np.unique output is
+    already sorted), ready for `_shard_refs`."""
     allh = np.frombuffer(b"".join(g["hs"]), dtype=np.uint64)
     allnd = np.frombuffer(b"".join(g["nd"]), dtype=np.int32)
     uh, inv = np.unique(allh, return_inverse=True)
     totals = np.bincount(inv, weights=allnd.astype(np.float64))
-    return pd.DataFrame({"h": uh[totals >= min_urls]})
+    return pd.DataFrame(
+        {"part": [int(g["part"].iloc[0])],
+         "hs": [uh[totals >= min_urls].tobytes()]}
+    )
+
+
+def _dup_span_candidates(ds: rd.Dataset, w: int, min_urls: int,
+                         n_parts: int) -> list:
+    """Pass-1 candidate discovery for the dup-span ops, returning the
+    candidate set as per-part sharded refs (never one driver array)."""
+
+    def pass1(df: pd.DataFrame) -> pd.DataFrame:
+        return _dup_span_pass1(df, w, n_parts)
+
+    def reduce1(g: pd.DataFrame) -> pd.DataFrame:
+        return _dup_span_reduce1(g, min_urls)
+
+    packed = (
+        ds.map_batches(pass1, batch_format="pandas", batch_size=1024)
+        .groupby("part")
+        .map_groups(reduce1, batch_format="pandas")
+    )
+    return _shard_refs(
+        packed, n_parts, lambda row: np.frombuffer(row["hs"], np.uint64)
+    )
 
 
 def _dup_span_pass2(df: pd.DataFrame, w: int, n_parts: int,
-                    cand_ref) -> pd.DataFrame:
+                    cand_refs: list) -> pd.DataFrame:
     """md5 pass shared by the census and the per-url stats: build the
     public md5 identity ONLY for windows whose cheap hash is in the
-    broadcast candidate set, emit (span_md5, url, n) partials keyed by a
-    coarse md5 hash."""
-    import ray
-
+    sharded candidate set (fetching just the slices this batch touches),
+    emit (span_md5, url, n) partials keyed by a coarse md5 hash."""
     empty = pd.DataFrame(
         {"span_md5": pd.Series(dtype="object"),
          "url": pd.Series(dtype="object"),
@@ -826,8 +934,8 @@ def _dup_span_pass2(df: pd.DataFrame, w: int, n_parts: int,
     if r is None:
         return empty
     doc_w, pos, acc, tok_id, uniq = r
-    cand_h = ray.get(cand_ref)
-    m = np.nonzero(np.isin(acc, cand_h, assume_unique=False))[0]
+    part_w = (acc % np.uint64(n_parts)).astype(np.int64)
+    m = np.nonzero(_sharded_isin(acc, part_w, cand_refs))[0]
     if not len(m):
         return empty
     urls = df["url"].reset_index(drop=True).to_numpy()
@@ -870,41 +978,22 @@ def dup_span_census(sf_dir: str, w: int = DUP_SPAN_W,
       at sf0.01, and per-row sort cost is exactly what melts at 10¹² rows.
       Per-hash distinct-url counts stay exact because a url's text lives
       in exactly one input row, so per-batch partials never double count.
-      Candidates (cheap hashes in ≥ ``min_urls`` urls) come back to the
-      driver — O(duplicated spans), tiny by construction.
+      Candidates (cheap hashes in ≥ ``min_urls`` urls) stay SHARDED by
+      the shuffle's own part key — per-part sorted blobs turned into
+      per-part object refs (`_shard_refs`); the driver holds one slice
+      at a time, never the O(duplicated-content) whole.
     - **Pass 2** re-derives windows, md5s ONLY candidate windows (the
       expensive string build + digest is paid for duplicates, not the
       corpus), and reduces (span_md5, url, n) partials exactly.  The
       final ``min_urls`` filter re-applies on md5 identity, so cheap-hash
       collisions cannot leak false rows.
     """
-    import ray
-
     n_parts = 64
-
-    def pass1(df: pd.DataFrame) -> pd.DataFrame:
-        return _dup_span_pass1(df, w, n_parts)
-
-    def reduce1(g: pd.DataFrame) -> pd.DataFrame:
-        return _dup_span_reduce1(g, min_urls)
-
     ds = _read_corpus(sf_dir, ["url", "text"])
-    cand = (
-        ds.map_batches(pass1, batch_format="pandas", batch_size=1024)
-        .groupby("part")
-        .map_groups(reduce1, batch_format="pandas")
-        .to_pandas()
-    )
-    # zero windows anywhere → the reduce stage never ran, so the frame
-    # keeps pass1's (empty) schema without an 'h' column
-    cand_h = (
-        cand["h"].to_numpy(dtype=np.uint64)
-        if "h" in cand.columns else np.empty(0, dtype=np.uint64)
-    )
-    cand_ref = ray.put(np.sort(cand_h))
+    cand_refs = _dup_span_candidates(ds, w, min_urls, n_parts)
 
     def pass2(df: pd.DataFrame) -> pd.DataFrame:
-        return _dup_span_pass2(df, w, n_parts, cand_ref)
+        return _dup_span_pass2(df, w, n_parts, cand_refs)
 
     def reduce2(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby("span_md5", as_index=False).agg(
@@ -973,41 +1062,27 @@ def dup_span_stats(sf_dir: str, w: int = DUP_SPAN_W,
     span shared with another document, the signal an exact-substring
     dedup pass thresholds on.
 
-    Same two-pass candidate machinery as ``dup_span_census``, but the
-    md5-partition reduce resolves the census LOCALLY (each span_md5's
-    occurrences are co-located) and emits per-url duplicated-window
-    partial counts — bounded by documents that actually share spans, so
-    the driver-side dict is O(contaminated urls), broadcast once (the
-    ``boilerplate_strip`` pattern).  The final pass is map-only: window
-    count per url from token counts, dup count from the broadcast dict;
-    one row per url streams out, nothing corpus-sized ever sits on the
-    driver.
+    Same two-pass candidate machinery as ``dup_span_census`` (sharded
+    candidate refs, never one driver array), and the per-url dup counts
+    are themselves RE-SHARDED: the md5-partition reduce resolves the
+    census LOCALLY (each span_md5's occurrences are co-located) and
+    emits per-url partial counts, which a second tiny shuffle re-keys by
+    url digest into per-part sorted (digest, count) blobs →
+    `_shard_refs`.  On a crawl corpus "contaminated urls" is a large
+    fraction of all urls, so this set gets the same no-driver-array
+    treatment as the candidates.  The final pass is map-only: window
+    count per url from token counts, dup count via searchsorted against
+    the url's slice; one row per url streams out, nothing corpus-sized
+    ever sits on the driver.
     """
     import ray
 
     n_parts = 64
-
-    def pass1(df: pd.DataFrame) -> pd.DataFrame:
-        return _dup_span_pass1(df, w, n_parts)
-
-    def reduce1(g: pd.DataFrame) -> pd.DataFrame:
-        return _dup_span_reduce1(g, min_urls)
-
     ds = _read_corpus(sf_dir, ["url", "text"])
-    cand = (
-        ds.map_batches(pass1, batch_format="pandas", batch_size=1024)
-        .groupby("part")
-        .map_groups(reduce1, batch_format="pandas")
-        .to_pandas()
-    )
-    cand_h = (
-        cand["h"].to_numpy(dtype=np.uint64)
-        if "h" in cand.columns else np.empty(0, dtype=np.uint64)
-    )
-    cand_ref = ray.put(np.sort(cand_h))
+    cand_refs = _dup_span_candidates(ds, w, min_urls, n_parts)
 
     def pass2(df: pd.DataFrame) -> pd.DataFrame:
-        return _dup_span_pass2(df, w, n_parts, cand_ref)
+        return _dup_span_pass2(df, w, n_parts, cand_refs)
 
     def reduce_url(g: pd.DataFrame) -> pd.DataFrame:
         cen = g.groupby("span_md5")["url"].nunique()
@@ -1016,32 +1091,82 @@ def dup_span_stats(sf_dir: str, w: int = DUP_SPAN_W,
         out = m.groupby("url", as_index=False)["n"].sum()
         return out.rename(columns={"n": "nd"})
 
-    partials = (
+    def to_upart(df: pd.DataFrame) -> pd.DataFrame:
+        # re-key the per-url partials by url-md5 hex (ASCII, so numpy
+        # 'S32' packing has no trailing-NUL pitfalls); part from the
+        # same pd.util.hash_array both here and in finalize
+        if not len(df):
+            return pd.DataFrame(
+                {"uh": pd.Series(dtype="object"),
+                 "nd": pd.Series(dtype="int64"),
+                 "upart": pd.Series(dtype="int64")}
+            )
+        uh = np.array(
+            [hashlib.md5(u.encode("utf-8")).hexdigest() for u in df["url"]],
+            dtype=object,
+        )
+        upart = (pd.util.hash_array(uh) % n_parts).astype(np.int64)
+        return pd.DataFrame(
+            {"uh": uh, "nd": df["nd"].to_numpy(np.int64), "upart": upart}
+        )
+
+    def pack_url(g: pd.DataFrame) -> pd.DataFrame:
+        # a url's partials can arrive from several md5-parts → sum first
+        a = g.groupby("uh", as_index=False)["nd"].sum()
+        keys = a["uh"].to_numpy(dtype="S32")
+        order = np.argsort(keys)
+        return pd.DataFrame(
+            {"part": [int(g["upart"].iloc[0])],
+             "uh": [keys[order].tobytes()],
+             "nd": [a["nd"].to_numpy(np.int64)[order].tobytes()]}
+        )
+
+    url_refs = _shard_refs(
         ds.map_batches(pass2, batch_format="pandas", batch_size=1024)
         .groupby("part")
         .map_groups(reduce_url, batch_format="pandas")
-        .to_pandas()
+        .map_batches(to_upart, batch_format="pandas")
+        .groupby("upart")
+        .map_groups(pack_url, batch_format="pandas"),
+        n_parts,
+        lambda row: (
+            np.frombuffer(row["uh"], dtype="S32"),
+            np.frombuffer(row["nd"], dtype=np.int64),
+        ),
     )
-    if "url" in partials.columns and len(partials):
-        dup_counts = partials.groupby("url")["nd"].sum().to_dict()
-    else:
-        dup_counts = {}
-    dup_ref = ray.put(dup_counts)
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        counts = ray.get(dup_ref)
         t = df["text"].fillna("").reset_index(drop=True)
         # count-only pass: no token-list materialization, just the
         # vectorized occurrence count of the pinned token class
         n_tok = t.str.count(TOKEN_RE).to_numpy(dtype=np.int64)
         n_windows = np.maximum(n_tok - w + 1, 0)
         urls = df["url"].reset_index(drop=True)
+        uh = np.array(
+            [hashlib.md5(u.encode("utf-8")).hexdigest() for u in urls],
+            dtype=object,
+        )
+        upart = (pd.util.hash_array(uh) % n_parts).astype(np.int64)
+        uh = uh.astype("S32")
+        nd = np.zeros(len(urls), dtype=np.int64)
+        for p in np.unique(upart):
+            ref = url_refs[int(p)]
+            if ref is None:
+                continue
+            keys, counts = ray.get(ref)
+            sel = upart == p
+            v = uh[sel]
+            idx = np.searchsorted(keys, v)
+            ok = idx < len(keys)
+            hit = np.zeros(len(v), dtype=bool)
+            hit[ok] = keys[idx[ok]] == v[ok]
+            vals = np.zeros(len(v), dtype=np.int64)
+            vals[hit] = counts[idx[hit]]
+            nd[sel] = vals
         return pd.DataFrame(
             {"url": urls,
              "n_windows": n_windows.astype(np.int64),
-             "n_dup_windows": urls.map(
-                 lambda u: counts.get(u, 0)
-             ).to_numpy(dtype=np.int64)}
+             "n_dup_windows": nd}
         )
 
     return ds.map_batches(finalize, batch_format="pandas", batch_size=2048)

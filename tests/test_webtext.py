@@ -325,3 +325,66 @@ def test_gopher_repetition_adversarial_vs_duckdb(ray_session):
         "engine vs DuckDB divergence:\n"
         f"{eng.compare(ora) if eng.shape == ora.shape else (eng, ora)}"
     )
+
+
+def test_dup_span_candidates_sharded_not_broadcast(ray_session):
+    """The dup-span candidate set must reach map tasks as per-part
+    slices with the driver never holding the full array (the r3 form
+    `ray.put` the whole sorted candidate array — O(duplicated content)
+    on a crawl corpus).  Checks: every slice holds only hashes ≡ its
+    part (mod n_parts), slices are sorted, their union equals the exact
+    candidate set recomputed directly, and no single slice carries the
+    whole set."""
+    import os
+    import tempfile
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    import latyas_ray.ops.webtext as wt
+
+    n_parts, w = 64, 10
+    rows = []
+    for i in range(40):  # 40 cross-doc spans -> 40 candidate hashes
+        span = " ".join(f"s{i}w{j}" for j in range(w))
+        rows.append((f"u{i}a", span))
+        rows.append((f"u{i}b", f"pad{i} {span}"))
+    df = pd.DataFrame(rows, columns=["url", "text"])
+
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(
+            pa.table({"url": df["url"], "text": df["text"]}),
+            os.path.join(td, "pages-00000.parquet"),
+        )
+        ds = rd.read_parquet(os.path.join(td, "pages-00000.parquet"))
+        refs = wt._dup_span_candidates(ds, w, 2, n_parts)
+
+        assert len(refs) == n_parts
+        slices = []
+        for p, ref in enumerate(refs):
+            if ref is None:
+                continue
+            sl = ray.get(ref)
+            assert (sl % np.uint64(n_parts) == np.uint64(p)).all()
+            if len(sl) > 1:
+                assert (np.diff(sl.view(np.uint64)) > 0).all()
+            slices.append(np.asarray(sl))
+
+    got = np.sort(np.concatenate(slices))
+    # driver-side O(1/n_parts): the set spans many parts, none holds all
+    assert len([s for s in slices if len(s)]) >= 4
+    assert max(len(s) for s in slices) < len(got)
+
+    # exact expected candidate set: distinct (hash, doc) pairs with >= 2
+    # docs, recomputed over the whole corpus as one batch
+    doc_w, _, acc, _, _ = wt._window_hashes(df, w)
+    c = Counter(h for h, _ in set(zip(acc.tolist(), doc_w.tolist())))
+    expect = np.sort(
+        np.array([h for h, n in c.items() if n >= 2], dtype=np.uint64)
+    )
+    assert np.array_equal(got, expect)
