@@ -71,6 +71,9 @@ def main(argv=None) -> int:
     e.add_argument("--partitions", type=int, default=8)
     e.add_argument("--batch-size", type=int, default=32)
     e.add_argument("--no-actors", action="store_true")
+    e.add_argument("--preset", default=None,
+                   choices=["paper", "report", "book"],
+                   help="named pipeline preset (pipelines/presets.py)")
     e.add_argument("--metrics", action="store_true",
                    help="run the per-lang rollup after the job completes")
 
@@ -110,6 +113,7 @@ def main(argv=None) -> int:
                 n_partitions=args.partitions,
                 batch_size=args.batch_size,
                 use_actors=not args.no_actors,
+                preset=args.preset,
             )
             if args.metrics and res["complete"]:
                 rollup_metrics(args.out)

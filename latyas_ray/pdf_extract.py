@@ -104,9 +104,14 @@ def page_chain(regions: List[Region], page_idx: int,
         ocr = _default_ocr()
     for r in regions:
         if r.text is not None:
-            rec = ocr.recognize(r.kind, r.text)
-            if rec is not None:
-                r.text = rec
+            m = ocr.model_for(r.kind)
+            # Rule-less kinds contribute NO text — the reference only
+            # sets a block's _text through an OCR rule, and the writer
+            # skips _text-None blocks (``tools/pdf2text.py:31-33``).
+            # Under the default registry this is a no-op (it rules every
+            # KEEP_KIND); under a narrow preset (report/book) it is what
+            # makes Table/Equation regions drop out of the text.
+            r.text = m.recognize(r.text) if m is not None else None
 
     # J1: flag text regions containing embedded equations (margin 20,
     # base_pipeline.py:127-146) — with real models these route to the

@@ -74,8 +74,21 @@ def extract_dataset(
     concurrency: Optional[tuple | int] = None,
     use_actors: bool = True,
     split_stages: bool = False,
+    preset: Optional[str] = None,
 ) -> rd.Dataset:
-    """Attach the extraction stage(s) to a pages Dataset (lazy)."""
+    """Attach the extraction stage(s) to a pages Dataset (lazy).
+
+    ``preset`` selects a named pipeline config (``paper`` / ``report``
+    / ``book``, :mod:`latyas_ray.pipelines.presets`) for the PDF model
+    stage's OCR rule table; ``None`` keeps the default (echo) registry
+    the golden snapshots are built against.  Requires the routed
+    actor-pool plan (``use_actors=True``, ``split_stages=False``) —
+    that is the only plan with a model stage to configure."""
+    if preset is not None and (split_stages or not use_actors):
+        raise ValueError(
+            "preset requires the routed actor-pool plan "
+            "(use_actors=True, split_stages=False)"
+        )
     if split_stages:
         # Two-branch plan for a heavyweight stateful detector: stateless
         # tasks take HTML rows, the actor pool takes only PDF rows.  Costs
@@ -121,6 +134,7 @@ def extract_dataset(
             extract_route_batch, batch_format="pyarrow", batch_size=batch_size
         ).map_batches(
             PdfExtractStage,
+            fn_constructor_kwargs={"preset": preset} if preset else None,
             batch_format="pyarrow",
             # coarse batches: ~93% of rows pass through untouched, so this
             # stage is transfer-bound, not compute-bound — fewer, larger
@@ -173,6 +187,7 @@ def run_partition(
     batch_size: int = DEFAULT_BATCH_SIZE,
     concurrency: Optional[tuple | int] = None,
     use_actors: bool = True,
+    preset: Optional[str] = None,
 ) -> LineageRecord:
     """Process one partition: read its files → extract → atomic write →
     lineage record."""
@@ -189,6 +204,7 @@ def run_partition(
         batch_size=batch_size,
         concurrency=concurrency,
         use_actors=use_actors,
+        preset=preset,
     )
     ds.write_parquet(tmp_dir)
     os.replace(tmp_dir, final_dir)
@@ -213,6 +229,7 @@ def run_resumable(
     concurrency: Optional[tuple | int] = None,
     use_actors: bool = True,
     max_partitions: Optional[int] = None,
+    preset: Optional[str] = None,
 ) -> dict:
     """Resumable whole-corpus run.  Completed partitions (valid lineage +
     output dir + matching extractor version) are skipped; the rest are
@@ -232,7 +249,8 @@ def run_resumable(
             continue
         run_partition(
             pid, part_files, out_dir,
-            batch_size=batch_size, concurrency=concurrency, use_actors=use_actors,
+            batch_size=batch_size, concurrency=concurrency,
+            use_actors=use_actors, preset=preset,
         )
         processed.append(pid)
     return {

@@ -163,20 +163,31 @@ class PdfExtractStage:
     ``texteller_layout_model.py:70-71``, an anti-pattern we do not copy)."""
 
     def __init__(self, model_name: Optional[str] = None,
-                 ocr_backend: Optional[str] = None) -> None:
-        self.model_name = model_name or "stub-layout-detector/1"
+                 ocr_backend: Optional[str] = None,
+                 preset: Optional[str] = None) -> None:
         import latyas_ray.pdf_extract  # noqa: F401 — warm compile in-actor
 
         # Warm OCR state: registry + backends built ONCE per actor
         # (``add_ocr_model`` calls live in pipeline __init__ in the
-        # reference too, paper_pipeline.py:35-61).  ``ocr_backend``
-        # selects the registered backend family: None/"echo" → the
-        # byte-identical echo channel, "digest" → DigestOCRModel.
+        # reference too, paper_pipeline.py:35-61).  ``preset`` selects a
+        # NAMED pipeline config (paper/report/book — detector spec +
+        # rule table, pipelines/presets.py); otherwise ``ocr_backend``
+        # picks the backend family for the default rule table:
+        # None/"echo" → the byte-identical echo channel, "digest" →
+        # DigestOCRModel.
+        if preset is not None:
+            from latyas_ray.pipelines.presets import get_preset
+
+            p = get_preset(preset)
+            self.model_name = model_name or p.layout_models[0][1]
+            self.ocr = p.build_registry()
+            return
         from latyas_ray.models.ocr_protocol import (
             DigestOCRModel,
             default_registry,
         )
 
+        self.model_name = model_name or "stub-layout-detector/1"
         self.ocr = default_registry(
             DigestOCRModel() if ocr_backend == "digest" else None
         )

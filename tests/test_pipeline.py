@@ -195,3 +195,113 @@ def test_split_stages_routes_binary_pdfs_without_string_cast(ray_session):
     assert got["u-corrupt"]["payload_kind"] == "pdf"  # dead-letter or empty
     assert got["u-html"]["extracted_text"] == "hi"
     assert got["u-null"]["payload_kind"] == "html"
+
+
+def _preset_fixture_payload() -> bytes:
+    """One synthetic PDF page exercising every rule family the presets
+    differ on: text kinds, an equation, a table, a reference, a header."""
+    page = {
+        "w": 612.0, "h": 792.0,
+        "blocks": [
+            {"label": "title", "conf": 0.95, "bbox": [50, 40, 560, 70],
+             "text": "A Title"},
+            {"label": "plain text", "conf": 0.9, "bbox": [50, 90, 560, 200],
+             "text": "Body paragraph one."},
+            {"label": "figure_caption", "conf": 0.9, "bbox": [50, 220, 560, 240],
+             "text": "Figure 9: unrelated caption."},
+            {"label": "table", "conf": 0.9, "bbox": [50, 260, 560, 360],
+             "text": "a,b\n1,2"},
+            {"label": "equation", "conf": 0.9, "bbox": [50, 380, 560, 420],
+             "text": "E = mc^2"},
+            {"label": "reference", "conf": 0.9, "bbox": [50, 440, 560, 520],
+             "text": "[1] Someone 2020."},
+            {"label": "header", "conf": 0.9, "bbox": [50, 10, 560, 25],
+             "text": "running head"},
+        ],
+    }
+    return b"%PDF-SYN\n" + json.dumps({"pages": [page]}).encode()
+
+
+def test_named_presets_reference_parity():
+    """The three named presets (pipelines/presets.py) mirror the
+    reference configs: paper's 12-rule table recognizes
+    equation/table/reference kinds that report/book drop (rule-less →
+    no text, pdf2text.py:31-33), and report ≡ book is PINNED — the
+    reference's ReportPipeline (report_pipeline.py:13-25) and
+    BookPipeline (book_pipeline.py:12-24) are identical configs
+    differing only in class name.  All outputs deterministic (two runs
+    byte-identical)."""
+    from latyas_ray.pipelines.presets import BOOK, PAPER, REPORT, get_preset
+
+    payload = _preset_fixture_payload()
+
+    def run(preset):
+        return extract_one("u-p", payload,
+                           ocr_registry=preset.build_registry())
+
+    paper1, paper2 = run(PAPER), run(PAPER)
+    report, book = run(REPORT), run(BOOK)
+
+    assert paper1 == paper2  # deterministic
+    assert report == run(REPORT)
+
+    # paper: full rule table -> table/equation/reference text present,
+    # the equation $$-wrapped exactly as the writer does
+    assert "A Title" in paper1["extracted_text"]
+    assert "a,b\n1,2" in paper1["extracted_text"]
+    assert "$$\nE = mc^2\n$$" in paper1["extracted_text"]
+    assert "[1] Someone 2020." in paper1["extracted_text"]
+    # header is textual but boilerplate: never assembled (KEEP_KINDS)
+    assert "running head" not in paper1["extracted_text"]
+
+    # report/book: only Title/Text/Caption rules -> the rest contribute
+    # no text; the two presets are the SAME config under different names
+    assert report == book
+    assert REPORT.rules == BOOK.rules
+    assert REPORT.layout_models == BOOK.layout_models
+    assert "A Title" in report["extracted_text"]
+    assert "Body paragraph one." in report["extracted_text"]
+    for gone in ("a,b", "E = mc^2", "[1] Someone", "running head"):
+        assert gone not in report["extracted_text"]
+    assert report["extracted_text"] != paper1["extracted_text"]
+
+    # region inventory is the detector's business, not the rule table's:
+    # all presets detect the same regions
+    assert len(paper1["regions"]) == len(report["regions"])
+
+    assert get_preset("paper") is PAPER
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        get_preset("magazine")
+
+
+def test_preset_threads_through_ray_pipeline(ray_session, tmp_path):
+    """extract_dataset(preset=...) reaches the PdfExtractStage actor pool:
+    the report preset's narrow rule table visibly changes the distributed
+    output for a PDF row, and HTML rows are untouched."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    pdf = _preset_fixture_payload()
+    tbl = pa.table(
+        {"url": ["u-pdf", "u-html"],
+         "warc_ts": [0, 0],
+         "html": [pdf, b"<html><body><p>hi</p></body></html>"],
+         "text": ["", ""],
+         "lang": ["en", "en"]}
+    )
+    path = os.path.join(tmp_path, "pages-00000.parquet")
+    pq.write_table(tbl, path)
+
+    def run(**kw):
+        out = extract_dataset(read_pages([path]), batch_size=8, **kw).to_pandas()
+        return out.set_index("url")["extracted_text"].to_dict()
+
+    default, report = run(), run(preset="report")
+    assert "a,b\n1,2" in default["u-pdf"]
+    assert "a,b" not in report["u-pdf"]
+    assert "A Title" in report["u-pdf"]
+    assert default["u-html"] == report["u-html"]
+
+    with pytest.raises(ValueError):
+        extract_dataset(read_pages([path]), preset="report", use_actors=False)
