@@ -65,6 +65,16 @@ class OCRModel(ABC):
     def detect(self, image: Image) -> List[TextBoundingBox]:
         ...
 
+    def recognize_batch(self, images: List[Image]) -> List[str]:
+        """Batched recognition — the GPU-intended inference shape: the
+        reference stacks ALL crops into ONE generate call
+        (``tex_ocr/models/texteller/ocr_model/utils/inference.py:13-49``,
+        ``torch.stack`` at ``:32``, ``batch_decode`` at ``:48``), so a
+        real TexTeller/GOT-OCR2 backend overrides this with its stacked
+        call.  The default is the per-image loop — bit-identical
+        results, callers need not know which shape the backend runs."""
+        return [self.recognize(im) for im in images]
+
 
 class EchoOCRModel(OCRModel):
     """Synthetic-channel backend: the crop bytes are the text."""

@@ -160,13 +160,17 @@ class TexMixModel:
     def recognize(self, page: MixedPage) -> str:
         snippets: List[TextBoundingBox] = []
 
-        # equation channel: recognize each detected equation from the
-        # ORIGINAL page, mask it out of the working copy (:89-96)
+        # equation channel: recognize the detected equations from the
+        # ORIGINAL page in ONE batched call (the reference feeds all
+        # crops to a single stacked generate, inference.py:29-48), mask
+        # each out of the working copy (:89-96)
         eq_bboxes = self.tex_model.detect(page)
         masked = page.copy()
-        for eq in eq_bboxes:
-            rect = (eq.x1, eq.y1, eq.x2, eq.y2)
-            text = self.tex_model.recognize(page.crop(rect))
+        eq_rects = [(eq.x1, eq.y1, eq.x2, eq.y2) for eq in eq_bboxes]
+        eq_texts = self.tex_model.recognize_batch(
+            [page.crop(rect) for rect in eq_rects]
+        )
+        for eq, rect, text in zip(eq_bboxes, eq_rects, eq_texts):
             snippets.append(
                 TextBoundingBox(*rect, text="$" + text + "$", conf=eq.conf)
             )
@@ -202,12 +206,14 @@ class TexMixModel:
             if cur is not None:
                 snippets.append(TextBoundingBox(*cur, text=None, conf=1.0))
 
-        # re-recognize text pieces from the UNMASKED page (:127-131)
-        for s in snippets:
-            if s.text is None:
-                s.text = self.text_model.recognize(
-                    page.crop((s.x1, s.y1, s.x2, s.y2))
-                )
+        # re-recognize text pieces from the UNMASKED page (:127-131) —
+        # batched like the equation channel (one stacked call per page)
+        pending = [s for s in snippets if s.text is None]
+        texts = self.text_model.recognize_batch(
+            [page.crop((s.x1, s.y1, s.x2, s.y2)) for s in pending]
+        )
+        for s, t in zip(pending, texts):
+            s.text = t
 
         # final reflow over shrunk boxes — shrinking opens gaps between
         # boxes that touch at split boundaries (:139-146)
@@ -216,6 +222,50 @@ class TexMixModel:
             margin=0, horizontal_first=False,
         )
         return " ".join(snippets[i].text for i in order)  # :148-151
+
+    def recognize_markdown(self, page: MixedPage) -> str:
+        """The mix_inference markdown assembly over this page — the
+        richer M7 variant (``functions/mix_assembly``): isolated
+        equations ``$$``-wrapped with tag re-attachment, inline
+        equations ``$``-wrapped and bold-stripped, rows joined per
+        ``mix_inference.py:218-264``.
+
+        Label split: the reference reads ``embedding``/``isolated`` off
+        its latex detector's two classes; the synthetic detector has no
+        classes, so an equation ≥80% inside a detected text line — the
+        SAME membership test the cursor walk uses
+        (``texmix_model.py:113-116``) — is ``embedding``, the rest
+        ``isolated``."""
+        from ..functions.mix_assembly import assemble_markdown, wrap_boxes
+
+        eq_bboxes = self.tex_model.detect(page)
+        eq_rects = [(e.x1, e.y1, e.x2, e.y2) for e in eq_bboxes]
+        eq_texts = self.tex_model.recognize_batch(
+            [page.crop(r) for r in eq_rects]
+        )
+        masked = page.copy()
+        for r in eq_rects:
+            masked.mask(r)
+        text_bboxes = self.text_model.detect(masked)
+        text_texts = self.text_model.recognize_batch(
+            [masked.crop((b.x1, b.y1, b.x2, b.y2)) for b in text_bboxes]
+        )
+        texts = [
+            (int(b.x1), int(b.y1), int(b.y2 - b.y1), int(b.x2 - b.x1), t)
+            for b, t in zip(text_bboxes, text_texts)
+        ]
+        equations = []
+        for rect, t in zip(eq_rects, eq_texts):
+            embedded = any(
+                _inter_over_eq(rect, (b.x1, b.y1, b.x2, b.y2)) > 0.8
+                for b in text_bboxes
+            )
+            equations.append(
+                (int(rect[0]), int(rect[1]), int(rect[3] - rect[1]),
+                 int(rect[2] - rect[0]), t,
+                 "embedding" if embedded else "isolated")
+            )
+        return assemble_markdown(wrap_boxes(texts, equations))
 
 
 # ------------------------------------------------------------- fixtures

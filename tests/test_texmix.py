@@ -122,3 +122,46 @@ def test_overlapping_equation_detections_split_like_reference():
     assert toks.count("pre") == 1 and toks.count("post") == 1
     # no equation text leaks into a TEXT snippet (would appear unwrapped)
     assert r"\frac{a}{b}" not in [t for t in toks if not t.startswith("$")]
+
+
+def test_batched_generate_contract():
+    """A6 batched-inference shape: TexMix routes equation and text
+    re-recognition through recognize_batch — ONE stacked call per page
+    per channel (the reference stacks all crops into a single generate,
+    inference.py:29-48) — and the default per-image fallback produces
+    byte-identical output (hash-stable goldens unchanged)."""
+    from latyas_ray.models.texmix import (
+        SynthTexModel,
+        TexMixModel,
+        synth_mixed_page,
+    )
+
+    calls = {"batch": 0}
+
+    class BatchCountingTex(SynthTexModel):
+        def recognize_batch(self, images):
+            calls["batch"] += 1
+            # a real backend would stack crops into one generate call
+            # here; results must match the per-image path exactly
+            return [self.recognize(im) for im in images]
+
+    page = synth_mixed_page(7)
+    base = TexMixModel().recognize(page)
+    got = TexMixModel(tex_model=BatchCountingTex()).recognize(
+        synth_mixed_page(7)
+    )
+    assert got == base
+    assert calls["batch"] == 1
+
+
+def test_recognize_markdown_deterministic():
+    """The mix_inference markdown variant over synthetic pages: stable
+    across runs, $-wraps inline equations, and keeps all text tokens."""
+    from latyas_ray.models.texmix import TexMixModel, synth_mixed_page
+
+    m = TexMixModel()
+    for seed in (1, 5, 11):
+        page1, page2 = synth_mixed_page(seed), synth_mixed_page(seed)
+        md1, md2 = m.recognize_markdown(page1), m.recognize_markdown(page2)
+        assert md1 == md2
+        assert "$" in md1  # pages always carry at least one equation
