@@ -273,6 +273,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_rollup": _events.events_props_rollup,
         "top_suppliers_by_revenue": _relational.top_suppliers_by_revenue,
         "customers_by_region": _relational.customers_by_region,
+        # round-4 addition starts in the tail per the window policy
+        # (in-window from round 5 if a slot frees up)
+        "texmix_markdown": _q_texmix_markdown,
     }
 
 
@@ -282,6 +285,14 @@ def _q_texmix(sf_dir: str):
     if _is_golden_dir(sf_dir):
         ensure_oracle(sf_dir, _GOLDEN_SF, "texmix_recognize")
     return texmix_recognize(sf_dir)
+
+
+def _q_texmix_markdown(sf_dir: str):
+    from latyas_ray.pipelines.texmix_pipeline import texmix_markdown
+
+    if _is_golden_dir(sf_dir):
+        ensure_oracle(sf_dir, _GOLDEN_SF, "texmix_markdown")
+    return texmix_markdown(sf_dir)
 
 
 def _q_tsr_assemble(sf_dir: str):
@@ -350,10 +361,12 @@ def _shingle_cte(where: str = "") -> str:
 def _gopher_repetition_sql() -> str:
     """Independent n-gram recompute of ``gopher_repetition``: one
     list-slice subquery chain per n (2–10) over the same parquet shards.
-    N-gram identity is tokens joined by chr(31) and its token chars are
-    ``length(key) - (n-1)`` — the exact pinned definitions of
-    ``ops/webtext.py``; every counter is CAST to BIGINT so the driver
-    hash compare is bit-exact."""
+    N-gram identity is the INJECTIVE length-prefixed token key
+    (``length(tok) || ':' || tok`` concatenated — ``span_key`` in
+    ``ops/webtext.py``; a separator join would collide on tokens that
+    contain the separator, which the corpus carries since /7), and its
+    token chars are the explicit per-token length sum; every counter is
+    CAST to BIGINT so the driver hash compare is bit-exact."""
     from latyas_ray.ops.webtext import (
         GOPHER_DUP_NGRAM_CAPS,
         GOPHER_TOP_NGRAM_CAPS,
@@ -390,14 +403,18 @@ def _gopher_repetition_sql() -> str:
             if n <= 4
             else "sum(CASE WHEN c >= 2 THEN c * nch ELSE 0 END)"
         )
-        ng = " || chr(31) || ".join(["w"] + [f"w{k}" for k in range(1, n)])
+        cols = ["w"] + [f"w{k}" for k in range(1, n)]
+        ng = " || ".join(f"length({c}) || ':' || {c}" for c in cols)
+        lensum = " + ".join(f"length({c})" for c in cols)
         ctes.append(
-            f"g{n} AS (SELECT url, {ng} AS ng FROM wo "
+            f"g{n} AS (SELECT url, {ng} AS ng, {lensum} AS nch FROM wo "
             f"WHERE w{n - 1} IS NOT NULL)"
         )
         ctes.append(
+            # nch is functionally dependent on ng (the key decodes to its
+            # tokens), so max() just surfaces the per-group constant
             f"c{n} AS (SELECT url, ng, count(*) AS c, "
-            f"length(ng) - {n - 1} AS nch FROM g{n} GROUP BY url, ng)"
+            f"max(nch) AS nch FROM g{n} GROUP BY url, ng)"
         )
         ctes.append(
             f"a{n} AS (SELECT url, CAST({agg} AS BIGINT) AS v "
@@ -430,7 +447,8 @@ def _span_window_ctes(w: int) -> str:
         f"lead(w, {k}) OVER (PARTITION BY url ORDER BY i) AS w{k}"
         for k in range(1, w)
     )
-    ng = " || chr(31) || ".join(["w"] + [f"w{k}" for k in range(1, w)])
+    cols = ["w"] + [f"w{k}" for k in range(1, w)]
+    ng = " || ".join(f"length({c}) || ':' || {c}" for c in cols)
     return (
         "WITH d AS (SELECT url, coalesce(text, '') AS text "
         f"FROM read_parquet('{_webtext.corpus_glob(_GOLDEN_SF)}')), "
@@ -445,7 +463,7 @@ def _span_window_ctes(w: int) -> str:
 
 def _dup_span_sql(w: int = 10, min_urls: int = 2) -> str:
     """Independent recompute of ``dup_span_census`` over the shared span
-    identity: the window is ``md5`` of the chr(31)-joined tokens —
+    identity: the window is ``md5`` of the length-prefixed token key —
     matching the op's PUBLIC key, not its internal cheap-hash prefilter,
     so the two sides share only the pinned tokenizer + join + md5."""
     return (
@@ -948,6 +966,10 @@ def oracle_sql() -> dict[str, str]:
         "texmix_recognize": (
             "SELECT doc_id, mixed_text "
             f"FROM read_parquet('{oracle_path(_GOLDEN_SF, 'texmix_recognize')}')"
+        ),
+        "texmix_markdown": (
+            "SELECT doc_id, markdown "
+            f"FROM read_parquet('{oracle_path(_GOLDEN_SF, 'texmix_markdown')}')"
         ),
         "tsr_assemble": (
             "SELECT doc_id, table_idx, cell_idx, row_start, col_start, "

@@ -161,12 +161,16 @@ def run_bench() -> dict:
         "ngram_jaccard": dedup.ngram_jaccard,
         "contamination_check": dedup.contamination_check,
     }
-    from latyas_ray.pipelines.texmix_pipeline import texmix_recognize
+    from latyas_ray.pipelines.texmix_pipeline import (
+        texmix_markdown,
+        texmix_recognize,
+    )
     from latyas_ray.pipelines.tsr_pipeline import tsr_assemble_cells, tsr_serialize
 
     op_fns["tsr_assemble"] = tsr_assemble_cells
     op_fns["tsr_tables_csv"] = tsr_serialize
     op_fns["texmix_recognize"] = texmix_recognize
+    op_fns["texmix_markdown"] = texmix_markdown
     from latyas_ray.ops import webtext
 
     from latyas_ray.pipelines.semantic_pipeline import semantic_reflow_dataset

@@ -33,7 +33,7 @@ import pyarrow.parquet as pq
 from .extract import extract_one
 from .pdf_extract import PDF_MAGIC
 
-CORPUS_VERSION = "latyas-corpus/6"  # /2: pdf_real family (genuine PDF
+CORPUS_VERSION = "latyas-corpus/7"  # /2: pdf_real family (genuine PDF
 # bytes); /3: HTML breadth — rowspan/colspan tables, <dl>, <pre>,
 # entity-heavy boilerplate pages; /4: deterministic PII (contact line
 # with email / ipv4 / phone on every third site) so the webtext
@@ -45,7 +45,12 @@ CORPUS_VERSION = "latyas-corpus/6"  # /2: pdf_real family (genuine PDF
 # material — rare 'Lorem ipsum…' filler paragraphs, 'Please enable
 # JavaScript…' no-script boilerplate leaking into main content, and
 # brace-heavy JS lines in <pre> blocks, the three page-level artifacts
-# the c4_quality op flags on real Common Crawl
+# the c4_quality op flags on real Common Crawl; /7: US-separator (0x1F)
+# material — sites 13/14 plain pages carry 10-token spans whose tokens
+# CONTAIN a literal 0x1F, engineered so the two sites' DIFFERENT token
+# sequences join to the SAME string under a chr(31) separator ("q\x1fr
+# s" vs "q r\x1fs") — the collision the length-prefixed span_key
+# identity must not merge (ops/webtext.py)
 EPOCH_2024_US = 1704067200 * 1_000_000  # 2024-01-01T00:00:00Z in microseconds
 
 PAGES_SCHEMA = pa.schema(
@@ -544,6 +549,18 @@ def make_row(doc_id: int) -> dict:
     url = f"https://site{site}.example/{category}/{doc_id}"
     extracted = extract_one(url, html, None, lang)["extracted_text"]
     cand = _candidate_text(_rng(doc_id, "cand"), extracted)
+    # corpus /7: 0x1F-token spans in the TEXT channel (extraction's
+    # collapse_ws treats 0x1F as Python whitespace, so html-side material
+    # can never reach the text column — inject where the webtext ops
+    # tokenize).  Sites 13/14 carry DIFFERENT 10-token sequences whose
+    # chr(31)-joined strings are IDENTICAL; each repeats across its
+    # site's documents, so the dup-span census gets genuine 0x1F-token
+    # duplicate rows and a separator-join identity would wrongly merge
+    # the two sites' spans (ops/webtext.py span_key).
+    if site == 13:
+        cand += "\nrec\x1fsep unit farm tag mode grid plan vane kite jolt"
+    elif site == 14:
+        cand += "\nrec sep\x1funit farm tag mode grid plan vane kite jolt"
     return {
         "url": url,
         "warc_ts": EPOCH_2024_US + doc_id * 1337 * 1_000_000,

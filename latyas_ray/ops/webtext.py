@@ -547,17 +547,25 @@ def gopher_quality(sf_dir: str) -> rd.Dataset:
 # percent caps on the char fraction: 100·signal ≤ cap·total_chars.
 GOPHER_TOP_NGRAM_CAPS = {2: 20, 3: 18, 4: 16}
 GOPHER_DUP_NGRAM_CAPS = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
-# Joiner for n-gram / span keys in the SQL oracles and the span md5.
-# CAVEAT (engine↔oracle contract): chr(31) is NOT whitespace under the
-# pinned tokenizer, so a token containing a literal 0x1F would make the
-# joined-string identity collide across distinct token sequences (the
-# engine's integer-sequence identity would not).  The pinned corpus
-# generator never emits control characters — asserted by
-# tests/test_webtext.py::test_corpus_has_no_ngram_separator — so the two
-# identities coincide on every input these ops are verified over; real
-# crawl data would need a separator-escaping join before reusing the
-# SQL oracles verbatim.
-NGRAM_SEP = "\x1f"
+# Injective n-gram / span key shared by the engine md5 and the SQL
+# oracles: each token LENGTH-PREFIXED by its code-point length
+# ('<len>:<token>') and concatenated.  A separator join (the previous
+# form used chr(31)) collides when a token itself CONTAINS the
+# separator — ('q\x1fr','s') and ('q','r\x1fs') join to the same
+# string — which real crawl text can produce; the length prefix
+# delimits unambiguously, so no two distinct token sequences share a
+# key (decode: read digits to ':', take that many code points, repeat).
+# The corpus carries 0x1F-token material since /7 (sites 13/14,
+# including the engineered collision pair) so the oracle rows verify
+# the injectivity, not merely tolerate it.  SQL side: the identical
+# expression is length(tok) || ':' || tok (DuckDB length() counts code
+# points exactly like Python len — pinned by
+# tests/test_webtext.py::test_span_key_injective_with_separator_tokens).
+
+
+def span_key(tokens) -> str:
+    """The injective window identity (md5'd for the public span key)."""
+    return "".join(f"{len(t)}:{t}" for t in tokens)
 
 
 def _gopher_repetition_frame(df: pd.DataFrame, tok=None) -> pd.DataFrame:
@@ -646,7 +654,8 @@ def gopher_repetition(sf_dir: str) -> rd.Dataset:
       trivially (0 ≤ 0); word-count floors are ``gopher_quality``'s job.
 
     N-gram identity is the token SEQUENCE (the SQL oracle realizes it as
-    tokens joined by chr(31)); its token chars exclude separators.  One
+    the injective length-prefixed key, see ``span_key``); its token
+    chars are the plain token-length sum.  One
     document per row → zero shuffle; the nine passes never build key
     strings — each extends integer n-gram ids by one token via
     ``factorize((prev_id, next_token_id))`` (exact, collision-free), with
@@ -941,9 +950,7 @@ def _dup_span_pass2(df: pd.DataFrame, w: int, n_parts: int,
     urls = df["url"].reset_index(drop=True).to_numpy()
     digs = [
         hashlib.md5(
-            NGRAM_SEP.join(
-                uniq[tok_id[p0 + j]] for j in range(w)
-            ).encode("utf-8")
+            span_key(uniq[tok_id[p0 + j]] for j in range(w)).encode("utf-8")
         ).hexdigest()
         for p0 in pos[m]
     ]
@@ -961,7 +968,7 @@ def _dup_span_pass2(df: pd.DataFrame, w: int, n_parts: int,
 def dup_span_census(sf_dir: str, w: int = DUP_SPAN_W,
                     min_urls: int = 2) -> rd.Dataset:
     """Cross-document duplicated token-span census: every ``w``-token
-    window (pinned ASCII tokens, chr(31)-joined, md5) that occurs in ≥
+    window (pinned ASCII tokens, length-prefix-keyed, md5) that occurs in ≥
     ``min_urls`` distinct documents, with its distinct-document and
     total-occurrence counts — the removal list an exact-substring dedup
     pass broadcasts.

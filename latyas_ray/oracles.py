@@ -637,6 +637,19 @@ def _oracle_texmix(sf_dir: str) -> pa.Table:
     })
 
 
+def _oracle_texmix_markdown(sf_dir: str) -> pa.Table:
+    """Serial TexMix markdown-assembly variant (distributed ≡ serial;
+    the walk's quirks are pinned by the 500-seed differential vs the
+    verbatim port in tests/test_mix_assembly.py)."""
+    from .pipelines.texmix_pipeline import texmix_markdown_serial_rows
+
+    rows = texmix_markdown_serial_rows(sf_dir)
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "markdown": pa.array([r[1] for r in rows], pa.string()),
+    })
+
+
 def _oracle_semantic_reflow(sf_dir: str) -> pa.Table:
     """Serial semantic-reflow oracle (A9): ``extract_one`` per corpus
     document, then a verbatim port of the reference's NSP pair-scan loop
@@ -765,6 +778,7 @@ _BUILDERS = {
     "latex_normalize": _oracle_latex_normalize,
     "semantic_reflow": _oracle_semantic_reflow,
     "texmix_recognize": _oracle_texmix,
+    "texmix_markdown": _oracle_texmix_markdown,
     "tsr_assemble": _oracle_tsr_assemble,
     "tsr_tables_csv": _oracle_tsr_tables_csv,
     "media_features": _oracle_media_features,

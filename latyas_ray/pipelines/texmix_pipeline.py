@@ -56,3 +56,52 @@ def texmix_serial_rows(sf_dir: str):
     for d in sorted(t.column("doc_id").to_pylist()):
         out.append((int(d), model.recognize(synth_mixed_page(int(d)))))
     return out
+
+
+# ------------------------------------------------- markdown assembly variant
+
+
+class TexMixMarkdownStage:
+    """Same composite, assembled through the mix_inference markdown walk
+    (``TexMixModel.recognize_markdown`` — tag re-attachment + inline
+    bold-strip, ``functions/mix_assembly``)."""
+
+    def __init__(self) -> None:
+        self.model = TexMixModel()
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].astype("int64")
+        mds = [
+            self.model.recognize_markdown(synth_mixed_page(int(d)))
+            for d in ids
+        ]
+        return pd.DataFrame({"doc_id": ids.to_numpy(), "markdown": mds})
+
+
+def texmix_markdown(sf_dir: str, concurrency=None) -> rd.Dataset:
+    """(doc_id, markdown) — the mix_inference markdown rendering of each
+    synthetic mixed page.  Same pool shape as ``texmix_recognize``."""
+    from ..ops.common import cluster_pool_width
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    return ds.map_batches(
+        TexMixMarkdownStage,
+        batch_format="pandas",
+        batch_size=64,
+        concurrency=concurrency or (1, cluster_pool_width()),
+    )
+
+
+def texmix_markdown_serial_rows(sf_dir: str):
+    """Serial unit for the markdown oracle snapshot."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    model = TexMixModel()
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id"])
+    return [
+        (int(d), model.recognize_markdown(synth_mixed_page(int(d))))
+        for d in sorted(t.column("doc_id").to_pylist())
+    ]

@@ -201,19 +201,42 @@ def test_dup_span_census_kernel_semantics(ray_session):
             wt._read_corpus = orig
 
     expect_md5 = hashlib.md5(
-        wt.NGRAM_SEP.join(span.split()).encode()
+        wt.span_key(span.split()).encode()
     ).hexdigest()
     assert list(out["span_md5"]) == [expect_md5]
     assert out.loc[0, "n_urls"] == 2 and out.loc[0, "n_total"] == 3
 
 
-def test_corpus_has_no_ngram_separator():
-    """The SQL oracles for gopher_repetition / dup_span_census realize
-    n-gram identity as chr(31)-joined tokens; the engine uses the token
-    SEQUENCE.  The two identities coincide iff no token contains a
-    literal 0x1F — pinned here over the whole generated sf0.001 corpus
-    (the generator never emits control characters; see NGRAM_SEP's
-    caveat in ops/webtext.py)."""
+def test_span_key_injective_with_separator_tokens():
+    """The span/n-gram identity must stay injective when a token itself
+    contains the old chr(31) separator (corpus /7 ships exactly this
+    material at sites 13/14): the engineered pair joins to the SAME
+    string under a chr(31) separator but to distinct length-prefixed
+    keys, and the SQL realization (length(tok) || ':' || tok, DuckDB
+    length = code points = Python len) matches byte-for-byte, including
+    on multi-byte tokens."""
+    import duckdb
+
+    from latyas_ray.ops.webtext import span_key
+
+    a = ["rec\x1fsep", "unit"]
+    b = ["rec", "sep\x1funit"]
+    assert "\x1f".join(a) == "\x1f".join(b)  # the collision
+    assert span_key(a) != span_key(b)  # the fix
+
+    con = duckdb.connect()
+    for toks in (a, b, ["économie", "经济", "x"], ["", "y"], ["12:ab", "c"]):
+        expr = " || ".join(
+            f"length(${i + 1}) || ':' || ${i + 1}" for i in range(len(toks))
+        )
+        got = con.execute(f"SELECT {expr}", toks).fetchone()[0]
+        assert got == span_key(toks), toks
+
+
+def test_corpus_carries_separator_material():
+    """Corpus /7: the sf0.001 corpus must CONTAIN 0x1F tokens (sites
+    13/14 plain pages) so the oracle rows exercise the injective key on
+    real inputs rather than merely tolerating its absence."""
     import glob
     import os
 
@@ -223,15 +246,16 @@ def test_corpus_has_no_ngram_separator():
     from latyas_ray.corpus import ensure_corpus_for_sf
 
     corpus = ensure_corpus_for_sf("sf0.001", use_ray="no")
+    hits = 0
     for path in sorted(glob.glob(os.path.join(corpus, "pages-*.parquet"))):
         t = pq.read_table(path, columns=["text"])
-        hits = pc.sum(
+        hits += pc.sum(
             pc.cast(
                 pc.match_substring(pc.fill_null(t.column("text"), ""), "\x1f"),
                 "int64",
             )
-        ).as_py()
-        assert not hits, f"chr(31) found in corpus text: {path}"
+        ).as_py() or 0
+    assert hits > 0, "no 0x1F material in the generated corpus"
 
 
 def test_dup_span_census_all_docs_shorter_than_window(ray_session):
