@@ -146,11 +146,23 @@ def _materialized_extract(sf_dir: str) -> str:
                     return d
         except Exception:
             pass
-    shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d, exist_ok=True)
-    _extract_ds(sf_dir).write_parquet(d)
-    with open(marker, "w") as f:
+    # build into a process-private tmp dir and publish with one atomic
+    # rename (the run_partition pattern): two concurrent cold starts
+    # would otherwise both write_parquet into the SAME dir and leave a
+    # union of both jobs' files (every row twice) under a valid marker
+    tmp = f"{d}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    _extract_ds(sf_dir).write_parquet(tmp)
+    with open(os.path.join(tmp, "_SUCCESS.json"), "w") as f:
         json.dump(params, f)
+    shutil.rmtree(d, ignore_errors=True)
+    try:
+        os.replace(tmp, d)
+    except OSError:
+        # lost the publish race to a concurrent builder — its cache is
+        # equivalent (same params); keep it and drop ours
+        shutil.rmtree(tmp, ignore_errors=True)
     return d
 
 
@@ -259,6 +271,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_summary": _relational.lineitem_pricing_summary,
         "orders_by_nation": _relational.orders_by_nation,
         "parts_by_brand": _relational.parts_by_brand,
+        # entry #50 — the round-4 addition takes the window's last slot
+        "texmix_markdown": _q_texmix_markdown,
         # ---- tail: entries 51+ are OUTSIDE the driver's verification
         # window this round (all green in r2 AND r3; shapes redundant
         # with in-window queries: top-k sort ≡ top_suppliers in-window
@@ -273,9 +287,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_rollup": _events.events_props_rollup,
         "top_suppliers_by_revenue": _relational.top_suppliers_by_revenue,
         "customers_by_region": _relational.customers_by_region,
-        # round-4 addition starts in the tail per the window policy
-        # (in-window from round 5 if a slot frees up)
-        "texmix_markdown": _q_texmix_markdown,
     }
 
 

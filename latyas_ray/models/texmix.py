@@ -157,24 +157,32 @@ class TexMixModel:
         self.tex_model = tex_model or SynthTexModel()
         self.text_model = text_model or SynthTextModel()
 
-    def recognize(self, page: MixedPage) -> str:
-        snippets: List[TextBoundingBox] = []
-
-        # equation channel: recognize the detected equations from the
-        # ORIGINAL page in ONE batched call (the reference feeds all
-        # crops to a single stacked generate, inference.py:29-48), mask
-        # each out of the working copy (:89-96)
+    def _eq_channel(self, page: MixedPage):
+        """Shared channel prep for both assembly variants: detect the
+        equations, recognize them from the ORIGINAL page in ONE batched
+        call (the reference feeds all crops to a single stacked
+        generate, inference.py:29-48), and mask each out of a working
+        copy (:89-96).  Returns (eq_bboxes, eq_rects, eq_texts, masked);
+        what each variant detects/recognizes the TEXT channel against
+        (masked vs unmasked) stays explicit at the call sites."""
         eq_bboxes = self.tex_model.detect(page)
         masked = page.copy()
         eq_rects = [(eq.x1, eq.y1, eq.x2, eq.y2) for eq in eq_bboxes]
         eq_texts = self.tex_model.recognize_batch(
             [page.crop(rect) for rect in eq_rects]
         )
+        for rect in eq_rects:
+            masked.mask(rect)
+        return eq_bboxes, eq_rects, eq_texts, masked
+
+    def recognize(self, page: MixedPage) -> str:
+        snippets: List[TextBoundingBox] = []
+
+        eq_bboxes, eq_rects, eq_texts, masked = self._eq_channel(page)
         for eq, rect, text in zip(eq_bboxes, eq_rects, eq_texts):
             snippets.append(
                 TextBoundingBox(*rect, text="$" + text + "$", conf=eq.conf)
             )
-            masked.mask(rect)
         eq_bboxes = sorted(eq_bboxes, key=lambda e: e.x1)  # :99-101
 
         # text channel on the masked page, reading-ordered (:103-108)
@@ -238,14 +246,7 @@ class TexMixModel:
         ``isolated``."""
         from ..functions.mix_assembly import assemble_markdown, wrap_boxes
 
-        eq_bboxes = self.tex_model.detect(page)
-        eq_rects = [(e.x1, e.y1, e.x2, e.y2) for e in eq_bboxes]
-        eq_texts = self.tex_model.recognize_batch(
-            [page.crop(r) for r in eq_rects]
-        )
-        masked = page.copy()
-        for r in eq_rects:
-            masked.mask(r)
+        _, eq_rects, eq_texts, masked = self._eq_channel(page)
         text_bboxes = self.text_model.detect(masked)
         text_texts = self.text_model.recognize_batch(
             [masked.crop((b.x1, b.y1, b.x2, b.y2)) for b in text_bboxes]

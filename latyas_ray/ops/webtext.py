@@ -839,6 +839,23 @@ def _sorted_isin(vals: np.ndarray, sl) -> np.ndarray:
     return out
 
 
+def _sorted_lookup(keys, vals: np.ndarray, queries: np.ndarray,
+                   default=0) -> np.ndarray:
+    """Gather ``vals[position of q in keys]`` for each query (``keys``
+    sorted, aligned with ``vals``); misses get ``default``.  The value-
+    carrying sibling of :func:`_sorted_isin` — one home for the
+    searchsorted boundary logic."""
+    out = np.full(len(queries), default, dtype=vals.dtype if len(vals) else np.int64)
+    if keys is None or not len(keys):
+        return out
+    idx = np.searchsorted(keys, queries)
+    ok = idx < len(keys)
+    hit = np.zeros(len(queries), dtype=bool)
+    hit[ok] = keys[idx[ok]] == queries[ok]
+    out[hit] = vals[idx[hit]]
+    return out
+
+
 def _sharded_isin(vals: np.ndarray, parts: np.ndarray, refs: list) -> np.ndarray:
     """``vals[i] ∈ slice(refs[parts[i]])``, fetching only the slices
     present in this batch."""
@@ -1162,14 +1179,7 @@ def dup_span_stats(sf_dir: str, w: int = DUP_SPAN_W,
                 continue
             keys, counts = ray.get(ref)
             sel = upart == p
-            v = uh[sel]
-            idx = np.searchsorted(keys, v)
-            ok = idx < len(keys)
-            hit = np.zeros(len(v), dtype=bool)
-            hit[ok] = keys[idx[ok]] == v[ok]
-            vals = np.zeros(len(v), dtype=np.int64)
-            vals[hit] = counts[idx[hit]]
-            nd[sel] = vals
+            nd[sel] = _sorted_lookup(keys, counts, uh[sel])
         return pd.DataFrame(
             {"url": urls,
              "n_windows": n_windows.astype(np.int64),

@@ -216,6 +216,7 @@ def run_partition(
         n_rows=n_rows,
         checksum_xor=checksum,
         extractor_version=EXTRACTOR_VERSION,
+        preset=preset or "",
     )
     write_lineage(out_dir, rec)
     return rec
@@ -238,7 +239,7 @@ def run_resumable(
     files = list_corpus_files(corpus_dir)
     parts = partition_input_files(files, n_partitions)
     os.makedirs(out_dir, exist_ok=True)
-    done = completed_partitions(out_dir, EXTRACTOR_VERSION)
+    done = completed_partitions(out_dir, EXTRACTOR_VERSION, preset=preset or "")
 
     processed, skipped = [], []
     for pid, part_files in enumerate(parts):

@@ -32,6 +32,11 @@ class LineageRecord:
     checksum_xor: str  # xor of per-row sha256 (first 8 bytes), hex
     extractor_version: str
     completed: bool = True
+    # pipeline preset the partition was extracted under ("" = default
+    # registry).  Part of the resume identity: a resumed run with a
+    # DIFFERENT preset must reprocess, or the out_dir silently mixes
+    # outputs from two rule tables.
+    preset: str = ""
 
 
 def lineage_dir(out_dir: str) -> str:
@@ -69,9 +74,10 @@ def read_lineage(out_dir: str, pid: int) -> Optional[LineageRecord]:
         return None  # torn/invalid record → partition is redone
 
 
-def completed_partitions(out_dir: str, extractor_version: str) -> Dict[int, LineageRecord]:
+def completed_partitions(out_dir: str, extractor_version: str,
+                         preset: str = "") -> Dict[int, LineageRecord]:
     """Partitions safe to skip: lineage exists, matches the current
-    extractor version, and the output directory is present."""
+    extractor version AND preset, and the output directory is present."""
     done: Dict[int, LineageRecord] = {}
     d = lineage_dir(out_dir)
     if not os.path.isdir(d):
@@ -88,6 +94,7 @@ def completed_partitions(out_dir: str, extractor_version: str) -> Dict[int, Line
             rec
             and rec.completed
             and rec.extractor_version == extractor_version
+            and rec.preset == preset
             and os.path.isdir(os.path.join(out_dir, f"part-{pid:05d}"))
         ):
             done[pid] = rec

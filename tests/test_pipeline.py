@@ -305,3 +305,33 @@ def test_preset_threads_through_ray_pipeline(ray_session, tmp_path):
 
     with pytest.raises(ValueError):
         extract_dataset(read_pages([path]), preset="report", use_actors=False)
+
+
+def test_lineage_preset_identity(tmp_path):
+    """Resume identity includes the preset: a resumed run under a
+    DIFFERENT preset must reprocess, or out_dir silently mixes outputs
+    from two rule tables.  Old records without a preset field load as
+    the default ('') — backward compatible."""
+    from latyas_ray.state.lineage import (
+        LineageRecord,
+        completed_partitions,
+        write_lineage,
+    )
+
+    rec = LineageRecord(pid=0, input_files=["a"], n_rows=1,
+                        checksum_xor="0" * 16, extractor_version="v1",
+                        preset="report")
+    write_lineage(str(tmp_path), rec)
+    os.makedirs(tmp_path / "part-00000")
+    assert 0 in completed_partitions(str(tmp_path), "v1", preset="report")
+    assert not completed_partitions(str(tmp_path), "v1")
+    assert not completed_partitions(str(tmp_path), "v1", preset="paper")
+
+    # legacy record without the field -> default preset matches
+    import json as _json
+    p = tmp_path / "_lineage" / "part-00000.json"
+    d = _json.loads(p.read_text())
+    del d["preset"]
+    p.write_text(_json.dumps(d))
+    assert 0 in completed_partitions(str(tmp_path), "v1")
+    assert not completed_partitions(str(tmp_path), "v1", preset="report")
