@@ -29,6 +29,7 @@ from latyas_ray.golden import ensure_golden, golden_paths
 from latyas_ray.oracles import ensure_oracle, oracle_path
 from latyas_ray.ops import dedup as _dedup
 from latyas_ray.ops import events as _events
+from latyas_ray.ops import export as _export
 from latyas_ray.ops import relational as _relational
 from latyas_ray.ops import similarity as _similarity
 from latyas_ray.ops import textstats as _textstats
@@ -287,6 +288,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_rollup": _events.events_props_rollup,
         "top_suppliers_by_revenue": _relational.top_suppliers_by_revenue,
         "customers_by_region": _relational.customers_by_region,
+        # round-4 training-export additions (tail; in-window next round
+        # per the policy): zero-shuffle shard export + sequence packing
+        "shard_export": _export.shard_export,
+        "pack_sequences": _export.pack_sequences,
     }
 
 
@@ -898,6 +903,35 @@ def oracle_sql() -> dict[str, str]:
         # so the oracle is blind to the op's cheap-hash candidacy pass
         "dup_span_census": _dup_span_sql(),
         "dup_span_stats": _dup_span_stats_sql(),
+        # training-export ops: md5_number_lower(url) is the pinned
+        # shard/partition identity (≡ int.from_bytes(md5[8:], 'little'),
+        # tests/test_export.py); checksum is the order-independent
+        # bit_xor of per-document content ids
+        "shard_export": (
+            "SELECT CAST(md5_number_lower(url) % 64 AS BIGINT) AS shard_id, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS sum_chars, "
+            "bit_xor(md5_number_lower(url || chr(10) || coalesce(text, ''))) "
+            "AS checksum "
+            f"FROM read_parquet('{_webtext.corpus_glob(_GOLDEN_SF)}') "
+            "GROUP BY 1"
+        ),
+        "pack_sequences": (
+            "WITH d AS (SELECT url, coalesce(text, '') AS text "
+            f"FROM read_parquet('{_webtext.corpus_glob(_GOLDEN_SF)}')), "
+            "t AS (SELECT url, "
+            "CAST(md5_number_lower(url) % 32 AS BIGINT) AS upart, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tokens "
+            "FROM d), "
+            "p AS (SELECT upart, tokens, "
+            "coalesce(sum(tokens) OVER (PARTITION BY upart ORDER BY url "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "// 2048 AS pack_id FROM t) "
+            "SELECT upart, CAST(pack_id AS BIGINT) AS pack_id, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(tokens) AS BIGINT) AS sum_tokens "
+            "FROM p GROUP BY upart, pack_id"
+        ),
         # c4_quality: line rules + page flags recomputed in SQL; kept-line
         # reconstruction via string_agg(ORDER BY ord) FILTER, digests md5
         "c4_quality": (

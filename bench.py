@@ -200,6 +200,10 @@ def run_bench() -> dict:
     op_fns["dup_span_census"] = webtext.dup_span_census
     op_fns["dup_span_stats"] = webtext.dup_span_stats
     op_fns["quality_funnel"] = webtext.quality_funnel
+    from latyas_ray.ops import export as _export
+
+    op_fns["shard_export"] = _export.shard_export
+    op_fns["pack_sequences"] = _export.pack_sequences
     if skip_queries:
         op_fns = {}
     for name, fn in op_fns.items():
