@@ -8,6 +8,7 @@ Subcommands::
                                         [--partitions N] [--batch-size B]
                                         [--no-actors] [--metrics]
     python -m latyas_ray.cli metrics    --out DIR
+    python -m latyas_ray.cli export     --sf-dir DIR --out DIR [--shards N]
     python -m latyas_ray.cli ops        --list | --query NAME
                                         [--sf-dir DIR] [--limit N]
 
@@ -80,6 +81,11 @@ def main(argv=None) -> int:
     m = sub.add_parser("metrics", help="(re)compute the per-lang rollup")
     m.add_argument("--out", required=True)
 
+    x = sub.add_parser("export", help="write hash-assigned training shards")
+    x.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    x.add_argument("--out", required=True)
+    x.add_argument("--shards", type=int, default=64)
+
     o = sub.add_parser("ops", help="run one driver query over an sf dir")
     o.add_argument("--list", action="store_true", help="list query names")
     o.add_argument("--query", default=None)
@@ -123,6 +129,17 @@ def main(argv=None) -> int:
 
             df = rollup_metrics(args.out)
             print(df.to_json(orient="records"))
+        elif args.cmd == "export":
+            from .ops.export import shard_export_write
+
+            manifest = shard_export_write(args.sf_dir, args.out,
+                                          n_shards=args.shards)
+            print(json.dumps({
+                "out": args.out,
+                "n_shards": int(len(manifest)),
+                "n_docs": int(manifest["n_docs"].sum()),
+                "sum_chars": int(manifest["sum_chars"].sum()),
+            }))
         elif args.cmd == "ops":
             import ray.data as rd
 
