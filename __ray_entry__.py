@@ -220,10 +220,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis over documents
         "doc_stats_by_lang": _textstats.doc_stats_by_lang,
         "token_counts": _textstats.token_counts,
-        "quality_stats": _textstats.quality_stats,
         "quality_filter": _textstats.quality_filter,
         "chars_percentiles_by_lang": _textstats.chars_percentiles_by_lang,
-        "word_counts": _textstats.word_counts,
         "lang_id": _oracled("lang_id", _textstats.lang_id),
         "doc_fingerprints": _oracled("doc_fingerprints", _textstats.doc_fingerprints),
         # web-corpus curation over the CC-shaped pages table (independent
@@ -240,6 +238,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_census": _webtext.dup_span_census,
         "dup_span_stats": _webtext.dup_span_stats,
         "quality_funnel": _webtext.quality_funnel,
+        # round-4 training-export ops (in-window: never driver-verified;
+        # they displace 3-round-green quality_stats/word_counts, whose
+        # shapes stay covered by token_counts/doc_stats_by_lang)
+        "shard_export": _export.shard_export,
+        "pack_sequences": _export.pack_sequences,
         # dedup family
         "dedup_exact": _dedup.dedup_exact,
         "minhash_dedup": _oracled("minhash_dedup", _dedup.minhash_dedup),
@@ -275,12 +278,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # entry #50 — the round-4 addition takes the window's last slot
         "texmix_markdown": _q_texmix_markdown,
         # ---- tail: entries 51+ are OUTSIDE the driver's verification
-        # window this round (all green in r2 AND r3; shapes redundant
-        # with in-window queries: top-k sort ≡ top_suppliers in-window
-        # history, hash-sampling ≡ lang-stratified history, hopping ≡
-        # tumbling, rollup ≡ props rollup history, 2/3-way broadcast
-        # joins ≡ orders_by_nation) ----
+        # window this round (all green in ≥2 prior rounds; shapes
+        # redundant with in-window queries: quality_stats/word_counts ≡
+        # token_counts/doc_stats_by_lang, top-k sort ≡ top_suppliers
+        # in-window history, hash-sampling ≡ lang-stratified history,
+        # hopping ≡ tumbling, rollup ≡ props rollup history, 2/3-way
+        # broadcast joins ≡ orders_by_nation) ----
         "top_docs": _textstats.top_docs,
+        "quality_stats": _textstats.quality_stats,
+        "word_counts": _textstats.word_counts,
         "sample_stratified": _textstats.sample_stratified,
         "sample_bernoulli": _textstats.sample_bernoulli,
         "events_hopping_counts": _events.events_hopping_counts,
@@ -288,10 +294,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_rollup": _events.events_props_rollup,
         "top_suppliers_by_revenue": _relational.top_suppliers_by_revenue,
         "customers_by_region": _relational.customers_by_region,
-        # round-4 training-export additions (tail; in-window next round
-        # per the policy): zero-shuffle shard export + sequence packing
-        "shard_export": _export.shard_export,
-        "pack_sequences": _export.pack_sequences,
     }
 
 
