@@ -30,6 +30,7 @@ from latyas_ray.oracles import ensure_oracle, oracle_path
 from latyas_ray.ops import dedup as _dedup
 from latyas_ray.ops import events as _events
 from latyas_ray.ops import export as _export
+from latyas_ray.ops import lm as _lm
 from latyas_ray.ops import relational as _relational
 from latyas_ray.ops import similarity as _similarity
 from latyas_ray.ops import textstats as _textstats
@@ -221,8 +222,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats_by_lang": _textstats.doc_stats_by_lang,
         "token_counts": _textstats.token_counts,
         "quality_filter": _textstats.quality_filter,
-        "chars_percentiles_by_lang": _textstats.chars_percentiles_by_lang,
         "lang_id": _oracled("lang_id", _textstats.lang_id),
+        # CCNet-style LM scoring + tiering (new this round — in-window;
+        # they displace 3-round-green chars_percentiles_by_lang, whose
+        # exact-percentile shape ccnet_tiers itself exercises, and
+        # simhash_fingerprints, a strict subset of in-window
+        # simhash_neardup's pipeline)
+        "lm_perplexity": _oracled("lm_perplexity", _lm.lm_perplexity),
+        "ccnet_tiers": _oracled("ccnet_tiers", _lm.ccnet_tiers),
         "doc_fingerprints": _oracled("doc_fingerprints", _textstats.doc_fingerprints),
         # web-corpus curation over the CC-shaped pages table (independent
         # DuckDB SQL oracles over the same parquet shards)
@@ -246,9 +253,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "dedup_exact": _dedup.dedup_exact,
         "minhash_dedup": _oracled("minhash_dedup", _dedup.minhash_dedup),
-        "simhash_fingerprints": _oracled(
-            "simhash_fingerprints", _dedup.simhash_fingerprints
-        ),
         # simhash_neardup's SQL oracle is an all-pairs popcount self-join
         # over the FINGERPRINT snapshot (genuinely independent of the
         # banded-LSH path under test) — so it depends on that snapshot.
@@ -287,6 +291,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs": _textstats.top_docs,
         "quality_stats": _textstats.quality_stats,
         "word_counts": _textstats.word_counts,
+        "chars_percentiles_by_lang": _textstats.chars_percentiles_by_lang,
+        "simhash_fingerprints": _oracled(
+            "simhash_fingerprints", _dedup.simhash_fingerprints
+        ),
         "sample_stratified": _textstats.sample_stratified,
         "sample_bernoulli": _textstats.sample_bernoulli,
         "events_hopping_counts": _events.events_hopping_counts,
@@ -975,6 +983,17 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": (
             "SELECT doc_id, lang_pred "
             f"FROM read_parquet('{oracle_path(_GOLDEN_SF, 'lang_id')}')"
+        ),
+        # CCNet-style LM family: serial-oracle snapshots (the quantized
+        # log-prob model is not SQL-expressible; the snapshot builder is
+        # an independent dict-and-loop reimplementation)
+        "lm_perplexity": (
+            "SELECT doc_id, n_bigrams, logprob_micro, norm_micro "
+            f"FROM read_parquet('{oracle_path(_GOLDEN_SF, 'lm_perplexity')}')"
+        ),
+        "ccnet_tiers": (
+            "SELECT lang, tier, n_docs, sum_bigrams "
+            f"FROM read_parquet('{oracle_path(_GOLDEN_SF, 'ccnet_tiers')}')"
         ),
         "doc_fingerprints": (
             "SELECT doc_id, min_window_hash, md5_64 "

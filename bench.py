@@ -204,6 +204,10 @@ def run_bench() -> dict:
 
     op_fns["shard_export"] = _export.shard_export
     op_fns["pack_sequences"] = _export.pack_sequences
+    from latyas_ray.ops import lm as _lm
+
+    op_fns["lm_perplexity"] = _lm.lm_perplexity
+    op_fns["ccnet_tiers"] = _lm.ccnet_tiers
     if skip_queries:
         op_fns = {}
     for name, fn in op_fns.items():

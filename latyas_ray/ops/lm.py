@@ -1,0 +1,454 @@
+"""CCNet-style n-gram LM quality scoring and head/middle/tail tiering.
+
+The reference has no language-model machinery; this pair is a
+beyond-reference training-data operator modeled on CCNet (Wenzek et
+al. 2019, "CCNet: Extracting High Quality Monolingual Datasets from Web
+Crawl Data"): score every document with an n-gram LM perplexity proxy
+trained on a seed slice of the corpus itself, then split the corpus
+into head / middle / tail quality tiers at the per-language score
+terciles.  CCNet trains a 5-gram KenLM per language on Wikipedia; here
+the model is an add-one-smoothed word-BIGRAM LM trained on a
+hash-selected seed subset (no external data in this environment), which
+keeps the exact distributed shape — train pass, broadcast model, map-only
+scoring, percentile-based tiering — while staying oracle-verifiable.
+
+Integer-exact contract (what makes the driver hash compare possible):
+the model ships QUANTIZED log-probabilities — per seen bigram,
+``floor(ln((c(w1,w2)+1) / (cl(w1)+V)) * 1e6 + 0.5)`` as an int64
+(micro-nats), with the per-left-token add-one fallback
+``floor(ln(1 / (cl(w1)+V)) * 1e6 + 0.5)`` for unseen pairs — computed
+ONCE on the driver with ``math.log`` over exact integer counts.
+Scoring is then pure integer lookup + int64 summation, so the
+distributed engine and the serial oracle agree bit-for-bit regardless
+of batch boundaries, actor topology, or float summation order.
+
+Tokenization is pinned to ASCII letter runs: ``[A-Za-z]+`` on the raw
+text, each token ascii-lowercased.  (Engine: ``pc.ascii_lower`` on the
+full text then ``split_pattern_regex('[^a-z]+')`` — equivalent because
+``ascii_lower`` maps exactly A-Z into a-z and nothing else into the
+class.  Full-Unicode ``str.lower()`` is deliberately avoided: U+212A
+KELVIN SIGN lowers into ASCII 'k' under Python but not under
+``ascii_lower``, and the oracle must not depend on which library
+lowercases.)
+
+Scale shape (100 TB):
+- Train pass A (vocab): seed docs only (``doc_id % LM_SEED_MOD == 0``),
+  per-batch token value_counts (partial combine), coarse hash shuffle on
+  the word, per-partition reduce + local top-V, driver merges
+  O(partitions x V) survivor rows — the ``word_counts`` shape.
+- Train pass B (counts): token->id mapping under the broadcast vocab,
+  per-batch bincount/unique partials, coarse hash shuffle on the pair
+  key, per-partition reduce + local top-P, driver merges survivors.
+  Left-token counts are bounded by V+1; pair counts are capped at
+  ``LM_PAIR_CAP`` with the drop logged (CCNet prunes its LMs the same
+  way).  Model size is O(V + P), independent of corpus size.
+- Scoring: model broadcast once (``ray.put`` of sorted int64 key/value
+  arrays); each batch dictionary-encodes its tokens (C), maps only the
+  UNIQUE tokens through the vocab (searchsorted), forms bigram keys and
+  scores them with one searchsorted against the pair table — map-only,
+  no shuffle.
+- Tiering: per-(lang, norm-score) histogram via partial value_counts +
+  coarse hash reduce.  The histogram is bounded by the VALUE RANGE of
+  the quantized normalized score (ln-probabilities in micro-nats //
+  bigram count), not by corpus size, so the driver-side boundary
+  computation stays small at any scale.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import os
+from typing import Dict, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from .common import merge_partials, read_table
+
+LM_SEED_MOD = 8          # seed subset: doc_id % LM_SEED_MOD == 0
+LM_VOCAB_CAP = 30_000    # top-V unigrams kept; everything else -> <unk>
+LM_PAIR_CAP = 1_000_000  # top-P bigrams kept; unseen pairs use fallback
+LM_QSCALE = 1_000_000    # micro-nats quantization
+# RE2 complement class: splitting the ascii-lowered text on this yields
+# exactly the [A-Za-z]+ runs of the raw text, lowercased.
+LM_SPLIT_RE = "[^a-z]+"
+
+_TIER_NAMES = ("head", "middle", "tail", "unscored")
+
+
+def _qlog_micro(num: int, den: int) -> int:
+    """Pinned quantization: ``floor(ln(num/den) * 1e6 + 0.5)`` (round
+    half up — Python round() is banker's and would diverge from the
+    oracle on exact .5 landings).  ``num/den`` is evaluated as ONE
+    float64 quotient before the log; computing ``log(num) - log(den)``
+    instead gives a different last bit."""
+    return int(math.floor(math.log(num / den) * LM_QSCALE + 0.5))
+
+
+def _token_scaffold(texts: pd.Series):
+    """Per-batch tokenization at C speed: ascii-lower the whole column,
+    split on the pinned complement class, flatten, drop boundary
+    empties, dictionary-encode.  Returns ``(n_tok, doc, tok_id, uniq)``
+    — per-row token counts, per-token row index, per-token dictionary
+    id, and the unique token strings — or ``None`` for a tokenless
+    batch.  (Same construction as ``webtext._flat_tokens`` but under the
+    LM's letters-only tokenizer.)"""
+    arr = pc.fill_null(
+        pa.array(texts.to_numpy(), type=pa.string(), from_pandas=True), ""
+    )
+    lists = pc.split_pattern_regex(pc.ascii_lower(arr), pattern=LM_SPLIT_RE)
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    lens = lens.astype(np.int64)
+    flat = pc.list_flatten(lists)
+    doc_all = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if not mask.any():
+        return None
+    flat_ne = flat.filter(pa.array(mask))
+    doc = doc_all[mask]
+    n_tok = np.bincount(doc, minlength=len(texts)).astype(np.int64)
+    d = pc.dictionary_encode(flat_ne)
+    tok_id = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = np.asarray(d.dictionary.to_pylist(), dtype=object)
+    return n_tok, doc, tok_id, uniq
+
+
+def _map_uniq_to_vocab(uniq: np.ndarray, vocab_sorted: np.ndarray,
+                       unk_id: int) -> np.ndarray:
+    """Vocab id for each UNIQUE batch token (OOV -> unk): one
+    searchsorted over the ascending vocab array — only the dictionary,
+    never the full token stream, pays the string comparisons."""
+    if len(vocab_sorted) == 0:
+        return np.full(len(uniq), unk_id, dtype=np.int64)
+    idx = np.searchsorted(vocab_sorted, uniq)
+    idx_c = np.minimum(idx, len(vocab_sorted) - 1)
+    hit = vocab_sorted[idx_c] == uniq
+    return np.where(hit, idx_c, unk_id).astype(np.int64)
+
+
+class _LMModel:
+    """Quantized bigram model: broadcast payload for the scoring pass."""
+
+    def __init__(self, vocab_sorted: np.ndarray, pair_keys: np.ndarray,
+                 pair_logp: np.ndarray, fallback: np.ndarray) -> None:
+        self.vocab_sorted = vocab_sorted      # object[V], ascending
+        self.unk_id = len(vocab_sorted)
+        self.v_total = len(vocab_sorted) + 1  # vocab + <unk>
+        self.pair_keys = pair_keys            # int64[P], ascending
+        self.pair_logp = pair_logp            # int64[P] micro-nats
+        self.fallback = fallback              # int64[V+1] micro-nats
+
+
+_MODEL_CACHE: Dict[Tuple[str, int, int, int], _LMModel] = {}
+_EMPTY_COUNT = pd.DataFrame(
+    {"key": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64"),
+     "kind": pd.Series(dtype="int64"), "part": pd.Series(dtype="int64")}
+)
+
+
+def _seed_vocab(sf_dir: str, seed_mod: int, vocab_cap: int) -> np.ndarray:
+    """Train pass A: top-``vocab_cap`` unigrams over the seed docs, ties
+    broken (count desc, token asc) — the ``word_counts`` distributed
+    top-k shape."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"word": pd.Series(dtype="object"),
+             "n": pd.Series(dtype="int64"),
+             "part": pd.Series(dtype="int64")}
+        )
+        seed = batch[(batch["doc_id"].to_numpy() % seed_mod) == 0]
+        if not len(seed):
+            return empty
+        sc = _token_scaffold(seed["text"])
+        if sc is None:
+            return empty
+        _, _, tok_id, uniq = sc
+        counts = np.bincount(tok_id, minlength=len(uniq)).astype(np.int64)
+        h = pd.util.hash_array(uniq)
+        return pd.DataFrame(
+            {"word": uniq, "n": counts, "part": (h % 64).astype("int64")}
+        )
+
+    def reduce_top(g: pd.DataFrame) -> pd.DataFrame:
+        totals = g.groupby("word", as_index=False)["n"].sum()
+        return totals.sort_values(
+            ["n", "word"], ascending=[False, True]
+        ).head(vocab_cap)
+
+    survivors = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=4096)
+        .groupby("part")
+        .map_groups(reduce_top, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(survivors):
+        return np.asarray([], dtype=object)
+    top = survivors.sort_values(
+        ["n", "word"], ascending=[False, True]
+    ).head(vocab_cap)
+    if len(survivors) > len(top):
+        logging.getLogger(__name__).warning(
+            "lm vocab capped at %d (dropped %d rarer seed words)",
+            vocab_cap, len(survivors) - len(top),
+        )
+    return np.sort(top["word"].to_numpy(dtype=object))
+
+
+def _seed_counts(sf_dir: str, seed_mod: int, pair_cap: int,
+                 vocab_sorted: np.ndarray) -> Tuple[np.ndarray, ...]:
+    """Train pass B: left-token counts (positions 0..n-2) and bigram
+    counts over the seed docs under the broadcast vocab.  Returns
+    ``(left_counts[V+1], pair_keys, pair_counts)`` with the pair table
+    globally capped at ``pair_cap`` by (count desc, key asc)."""
+    unk_id = len(vocab_sorted)
+    v_total = unk_id + 1
+    vocab_ref = ray.put(vocab_sorted)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        seed = batch[(batch["doc_id"].to_numpy() % seed_mod) == 0]
+        if not len(seed):
+            return _EMPTY_COUNT.copy()
+        sc = _token_scaffold(seed["text"])
+        if sc is None:
+            return _EMPTY_COUNT.copy()
+        n_tok, doc, tok_id, uniq = sc
+        ids = _map_uniq_to_vocab(uniq, ray.get(vocab_ref), unk_id)[tok_id]
+        # bigram positions: every token whose successor is in the same doc
+        left_mask = np.empty(len(ids), dtype=bool)
+        if len(ids):
+            left_mask[:-1] = doc[:-1] == doc[1:]
+            left_mask[-1] = False
+        w1 = ids[left_mask]
+        lc = np.bincount(w1, minlength=v_total).astype(np.int64)
+        lnz = np.flatnonzero(lc)
+        frames = [pd.DataFrame(
+            {"key": lnz.astype(np.int64), "n": lc[lnz],
+             "kind": np.int64(0),
+             "part": (lnz % 64).astype(np.int64)}
+        )]
+        if len(w1):
+            keys = w1 * v_total + ids[np.flatnonzero(left_mask) + 1]
+            uk, uc = np.unique(keys, return_counts=True)
+            frames.append(pd.DataFrame(
+                {"key": uk.astype(np.int64), "n": uc.astype(np.int64),
+                 "kind": np.int64(1), "part": (uk % 64).astype(np.int64)}
+            ))
+        return pd.concat(frames, ignore_index=True)
+
+    def reduce_cap(g: pd.DataFrame) -> pd.DataFrame:
+        totals = g.groupby(["kind", "key"], as_index=False)["n"].sum()
+        lefts = totals[totals["kind"] == 0]
+        pairs = totals[totals["kind"] == 1].sort_values(
+            ["n", "key"], ascending=[False, True]
+        ).head(pair_cap)
+        return pd.concat([lefts, pairs], ignore_index=True)
+
+    merged = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=4096)
+        .groupby("part")
+        .map_groups(reduce_cap, batch_format="pandas")
+        .to_pandas()
+    )
+    left_counts = np.zeros(v_total, dtype=np.int64)
+    if len(merged):
+        lefts = merged[merged["kind"] == 0]
+        left_counts[lefts["key"].to_numpy(dtype=np.int64)] = (
+            lefts["n"].to_numpy(dtype=np.int64)
+        )
+        pairs = merged[merged["kind"] == 1].sort_values(
+            ["n", "key"], ascending=[False, True]
+        ).head(pair_cap)
+        n_pairs_total = int((merged["kind"] == 1).sum())
+        if n_pairs_total > len(pairs):
+            logging.getLogger(__name__).warning(
+                "lm pair table capped at %d (dropped %d rarer bigrams)",
+                pair_cap, n_pairs_total - len(pairs),
+            )
+        order = np.argsort(pairs["key"].to_numpy(dtype=np.int64))
+        pair_keys = pairs["key"].to_numpy(dtype=np.int64)[order]
+        pair_counts = pairs["n"].to_numpy(dtype=np.int64)[order]
+    else:
+        pair_keys = np.asarray([], dtype=np.int64)
+        pair_counts = np.asarray([], dtype=np.int64)
+    return left_counts, pair_keys, pair_counts
+
+
+def build_model(sf_dir: str, seed_mod: int = LM_SEED_MOD,
+                vocab_cap: int = LM_VOCAB_CAP,
+                pair_cap: int = LM_PAIR_CAP) -> _LMModel:
+    """Two train passes + driver-side quantization (math.log over exact
+    integer counts — the ONLY floating-point step in the family, and it
+    runs once, on one machine).  Cached per (corpus dir, params)."""
+    key = (os.path.abspath(sf_dir), seed_mod, vocab_cap, pair_cap)
+    if key in _MODEL_CACHE:
+        return _MODEL_CACHE[key]
+    vocab_sorted = _seed_vocab(sf_dir, seed_mod, vocab_cap)
+    left, pair_keys, pair_counts = _seed_counts(
+        sf_dir, seed_mod, pair_cap, vocab_sorted
+    )
+    v_total = len(vocab_sorted) + 1
+    pair_logp = np.fromiter(
+        (
+            _qlog_micro(int(c) + 1, int(left[int(k) // v_total]) + v_total)
+            for k, c in zip(pair_keys, pair_counts)
+        ),
+        dtype=np.int64, count=len(pair_keys),
+    )
+    fallback = np.fromiter(
+        (_qlog_micro(1, int(lc) + v_total) for lc in left),
+        dtype=np.int64, count=v_total,
+    )
+    model = _LMModel(vocab_sorted, pair_keys, pair_logp, fallback)
+    _MODEL_CACHE[key] = model
+    return model
+
+
+def _scored_ds(sf_dir: str, model: _LMModel) -> rd.Dataset:
+    """Map-only scoring under the broadcast model: per document, the
+    int64 sum of quantized bigram log-probs, the bigram count, and the
+    floor-division normalized score."""
+    model_ref = ray.put(model)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        m: _LMModel = ray.get(model_ref)
+        n = len(batch)
+        doc_ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        langs = batch["lang"].fillna("").to_numpy(dtype=object)
+        n_bi = np.zeros(n, dtype=np.int64)
+        total = np.zeros(n, dtype=np.int64)
+        sc = _token_scaffold(batch["text"])
+        if sc is not None:
+            _, doc, tok_id, uniq = sc
+            ids = _map_uniq_to_vocab(uniq, m.vocab_sorted, m.unk_id)[tok_id]
+            left_mask = np.empty(len(ids), dtype=bool)
+            left_mask[:-1] = doc[:-1] == doc[1:]
+            left_mask[-1] = False
+            pos = np.flatnonzero(left_mask)
+            if len(pos):
+                w1 = ids[pos]
+                keys = w1 * m.v_total + ids[pos + 1]
+                if len(m.pair_keys):
+                    idx = np.searchsorted(m.pair_keys, keys)
+                    idx_c = np.minimum(idx, len(m.pair_keys) - 1)
+                    hit = m.pair_keys[idx_c] == keys
+                    lp = np.where(hit, m.pair_logp[idx_c], m.fallback[w1])
+                else:
+                    lp = m.fallback[w1]
+                bdoc = doc[pos]
+                # int64 groupby-sum (exact; float bincount would be
+                # exact only below 2**53 micro-nats per doc)
+                agg = pd.DataFrame({"d": bdoc, "lp": lp}).groupby("d")["lp"]
+                sums = agg.sum()
+                cnts = agg.size()
+                total[sums.index.to_numpy()] = sums.to_numpy(dtype=np.int64)
+                n_bi[cnts.index.to_numpy()] = cnts.to_numpy(dtype=np.int64)
+        norm = np.where(n_bi > 0, total // np.maximum(n_bi, 1), 0)
+        return pd.DataFrame(
+            {"doc_id": doc_ids, "lang": langs, "n_bigrams": n_bi,
+             "logprob_micro": total, "norm_micro": norm.astype(np.int64)}
+        )
+
+    return ds.map_batches(score, batch_format="pandas", batch_size=2048)
+
+
+def lm_perplexity(sf_dir: str) -> rd.Dataset:
+    """Per-document LM quality score (CCNet's per-doc perplexity step):
+    (doc_id, n_bigrams, logprob_micro, norm_micro) with norm_micro =
+    logprob_micro // n_bigrams (floor; 0 for docs under 2 tokens).
+    Lower (more negative) norm = higher perplexity = worse."""
+    model = build_model(sf_dir)
+    return _scored_ds(sf_dir, model).select_columns(
+        ["doc_id", "n_bigrams", "logprob_micro", "norm_micro"]
+    )
+
+
+def _tier_bounds(hist: pd.DataFrame) -> Dict[str, Tuple[int, int]]:
+    """Per-lang tercile boundaries over the (lang, norm, count)
+    histogram of SCORED docs: with values ascending, t_lo = value at
+    rank n//3 and t_hi = value at rank (2n)//3 (0-based)."""
+    bounds: Dict[str, Tuple[int, int]] = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("norm_micro")
+        vals = g["norm_micro"].to_numpy(dtype=np.int64)
+        cnts = g["n"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        t_lo = int(vals[np.searchsorted(cum, n // 3 + 1)])
+        t_hi = int(vals[np.searchsorted(cum, (2 * n) // 3 + 1)])
+        bounds[str(lang)] = (t_lo, t_hi)
+    return bounds
+
+
+def ccnet_tiers(sf_dir: str) -> pd.DataFrame:
+    """CCNet's corpus split: per language, head / middle / tail tiers at
+    the terciles of the normalized LM score (higher norm = lower
+    perplexity = better; ties resolve by value so equal scores share a
+    tier).  Docs with no bigrams are reported as 'unscored'.  Output:
+    (lang, tier, n_docs, sum_bigrams)."""
+    model = build_model(sf_dir)
+    scored = _scored_ds(sf_dir, model).materialize()
+
+    def hist_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch[batch["n_bigrams"] > 0]
+        if not len(g):
+            return pd.DataFrame(
+                {"lang": pd.Series(dtype="object"),
+                 "norm_micro": pd.Series(dtype="int64"),
+                 "n": pd.Series(dtype="int64"),
+                 "part": pd.Series(dtype="int64")}
+            )
+        vc = g.groupby(["lang", "norm_micro"], as_index=False).size()
+        return pd.DataFrame(
+            {"lang": vc["lang"], "norm_micro": vc["norm_micro"],
+             "n": vc["size"].astype(np.int64),
+             "part": (vc["norm_micro"].to_numpy(dtype=np.int64) % 64)}
+        )
+
+    hist = (
+        scored.map_batches(hist_partial, batch_format="pandas",
+                           batch_size=8192)
+        .groupby("part")
+        .map_groups(
+            lambda g: g.groupby(["lang", "norm_micro"], as_index=False)
+            .agg(n=("n", "sum")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    bounds = _tier_bounds(hist) if len(hist) else {}
+    bounds_ref = ray.put(bounds)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        b: Dict[str, Tuple[int, int]] = ray.get(bounds_ref)
+        langs = batch["lang"].to_numpy(dtype=object)
+        norm = batch["norm_micro"].to_numpy(dtype=np.int64)
+        n_bi = batch["n_bigrams"].to_numpy(dtype=np.int64)
+        tier = np.full(len(batch), "unscored", dtype=object)
+        for lang, (t_lo, t_hi) in b.items():
+            sel = (langs == lang) & (n_bi > 0)
+            tier[sel & (norm >= t_hi)] = "head"
+            tier[sel & (norm >= t_lo) & (norm < t_hi)] = "middle"
+            tier[sel & (norm < t_lo)] = "tail"
+        out = pd.DataFrame(
+            {"lang": langs, "tier": tier, "n_docs": np.int64(1),
+             "sum_bigrams": n_bi}
+        )
+        return out.groupby(["lang", "tier"], as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_bigrams=("sum_bigrams", "sum")
+        )
+
+    partials = scored.map_batches(assign, batch_format="pandas",
+                                  batch_size=8192)
+    out = merge_partials(partials, ["lang", "tier"],
+                         {"n_docs": "sum", "sum_bigrams": "sum"})
+    return out.astype({"n_docs": "int64", "sum_bigrams": "int64"})

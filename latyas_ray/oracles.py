@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import math
 import os
 import struct
 from typing import Dict, List, Set
@@ -767,6 +768,135 @@ def _oracle_tsr_tables_csv(sf_dir: str) -> pa.Table:
     })
 
 
+# ------------------------------------------------- LM scoring / tiers
+
+
+def _lm_tokens_py(text: str) -> List[str]:
+    """Pinned LM tokenizer, serial form: ASCII letter runs of the RAW
+    text, each token lowercased.  (Must NOT lower the whole text with
+    str.lower() first — full-Unicode lowering maps e.g. U+212A KELVIN
+    SIGN into ASCII 'k', which the engine's ascii_lower never does.)"""
+    import re
+
+    return [w.lower() for w in re.findall(r"[A-Za-z]+", text or "")]
+
+
+def _lm_scores_py(sf_dir: str) -> list:
+    """Serial reimplementation of the CCNet-style bigram LM family
+    (ops/lm.py): dict-and-loop training over the hash-seeded subset,
+    driver-identical quantization (math.log over exact integer counts,
+    floor(x*1e6 + 0.5)), integer lookup scoring.  Shares only the pinned
+    config constants with the engine (the SEM_REFLOW_MAX_REGIONS
+    precedent); every counting / selection / scoring step is
+    re-derived here with plain Python containers."""
+    from collections import Counter
+
+    from .ops.lm import (
+        LM_PAIR_CAP,
+        LM_QSCALE,
+        LM_SEED_MOD,
+        LM_VOCAB_CAP,
+    )
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    docs = sorted(
+        zip(
+            t.column("doc_id").to_pylist(),
+            [x or "" for x in t.column("text").to_pylist()],
+            [x or "" for x in t.column("lang").to_pylist()],
+        )
+    )
+    # train pass A: vocab = top-V seed unigrams (count desc, token asc)
+    uni: Counter = Counter()
+    for doc_id, text, _lang in docs:
+        if doc_id % LM_SEED_MOD == 0:
+            uni.update(_lm_tokens_py(text))
+    top = sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:LM_VOCAB_CAP]
+    vocab = {w: i for i, w in enumerate(sorted(w for w, _ in top))}
+    unk = len(vocab)
+    v_total = unk + 1
+    # train pass B: left counts (positions 0..n-2) + capped pair counts
+    left: Counter = Counter()
+    pairs: Counter = Counter()
+    for doc_id, text, _lang in docs:
+        if doc_id % LM_SEED_MOD != 0:
+            continue
+        ids = [vocab.get(w, unk) for w in _lm_tokens_py(text)]
+        for a, b in zip(ids, ids[1:]):
+            left[a] += 1
+            pairs[(a, b)] += 1
+    kept = sorted(
+        pairs.items(), key=lambda kv: (-kv[1], kv[0][0] * v_total + kv[0][1])
+    )[:LM_PAIR_CAP]
+
+    def qlog(num: int, den: int) -> int:
+        return int(math.floor(math.log(num / den) * LM_QSCALE + 0.5))
+
+    pair_logp = {
+        k: qlog(c + 1, left.get(k[0], 0) + v_total) for k, c in kept
+    }
+    fallback = {i: qlog(1, left.get(i, 0) + v_total) for i in range(v_total)}
+    # scoring
+    out = []
+    for doc_id, text, lang in docs:
+        ids = [vocab.get(w, unk) for w in _lm_tokens_py(text)]
+        total = 0
+        n_bi = 0
+        for a, b in zip(ids, ids[1:]):
+            total += pair_logp.get((a, b), fallback[a])
+            n_bi += 1
+        norm = total // n_bi if n_bi > 0 else 0
+        out.append((doc_id, lang, n_bi, total, norm))
+    return out
+
+
+def _oracle_lm_perplexity(sf_dir: str) -> pa.Table:
+    rows = _lm_scores_py(sf_dir)
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_bigrams": pa.array([r[2] for r in rows], pa.int64()),
+        "logprob_micro": pa.array([r[3] for r in rows], pa.int64()),
+        "norm_micro": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+def _oracle_ccnet_tiers(sf_dir: str) -> pa.Table:
+    from collections import defaultdict
+
+    rows = _lm_scores_py(sf_dir)
+    by_lang = defaultdict(list)
+    for _doc, lang, n_bi, _tot, norm in rows:
+        if n_bi > 0:
+            by_lang[lang].append(norm)
+    bounds = {}
+    for lang, vals in by_lang.items():
+        vals.sort()
+        n = len(vals)
+        bounds[lang] = (vals[n // 3], vals[(2 * n) // 3])
+    agg = defaultdict(lambda: [0, 0])
+    for _doc, lang, n_bi, _tot, norm in rows:
+        if n_bi <= 0 or lang not in bounds:
+            tier = "unscored"
+        else:
+            t_lo, t_hi = bounds[lang]
+            tier = "head" if norm >= t_hi else (
+                "middle" if norm >= t_lo else "tail"
+            )
+        cell = agg[(lang, tier)]
+        cell[0] += 1
+        cell[1] += n_bi
+    keys = sorted(agg)
+    return pa.table({
+        "lang": pa.array([k[0] for k in keys]),
+        "tier": pa.array([k[1] for k in keys]),
+        "n_docs": pa.array([agg[k][0] for k in keys], pa.int64()),
+        "sum_bigrams": pa.array([agg[k][1] for k in keys], pa.int64()),
+    })
+
+
 _BUILDERS = {
     "lang_id": _oracle_lang_id,
     "doc_fingerprints": _oracle_doc_fingerprints,
@@ -784,4 +914,6 @@ _BUILDERS = {
     "media_features": _oracle_media_features,
     "media_resize": _oracle_media_resize,
     "video_frame_features": _oracle_video_frames,
+    "lm_perplexity": _oracle_lm_perplexity,
+    "ccnet_tiers": _oracle_ccnet_tiers,
 }

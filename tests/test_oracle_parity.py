@@ -93,6 +93,9 @@ OPS_QUERIES = [
     "gopher_repetition", "c4_quality", "dup_span_census",
     "quality_funnel", "attribution_asof", "events_nearby_counts",
     "dup_span_stats",
+    # round-4 additions: training export (plain SQL) + CCNet LM family
+    # (serial-oracle snapshots)
+    "shard_export", "pack_sequences", "lm_perplexity", "ccnet_tiers",
 ]
 
 
