@@ -244,6 +244,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_quality": _webtext.c4_quality,
         "dup_span_census": _webtext.dup_span_census,
         "dup_span_stats": _webtext.dup_span_stats,
+        # round-4 removal counterpart to the census (in-window: never
+        # driver-verified; it displaces 2-round-green ann_topk, whose
+        # broadcast brute-force scoring is a strict subset of in-window
+        # ann_topk_ivf's pipeline)
+        "dup_span_removal": _webtext.dup_span_removal,
         "quality_funnel": _webtext.quality_funnel,
         # round-4 training-export ops (in-window: never driver-verified;
         # they displace 3-round-green quality_stats/word_counts, whose
@@ -260,7 +265,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": _dedup.ngram_jaccard,
         "contamination_check": _dedup.contamination_check,
         # similarity search over embeddings
-        "ann_topk": _similarity.ann_topk,
         "ann_topk_ivf": _oracled("ann_topk_ivf", _similarity.ann_topk_ivf),
         "embedding_neardup": _similarity.embedding_neardup_pairs,
         "embedding_neardup_ivf": _oracled(
@@ -289,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hopping ≡ tumbling, rollup ≡ props rollup history, 2/3-way
         # broadcast joins ≡ orders_by_nation) ----
         "top_docs": _textstats.top_docs,
+        "ann_topk": _similarity.ann_topk,
         "quality_stats": _textstats.quality_stats,
         "word_counts": _textstats.word_counts,
         "chars_percentiles_by_lang": _textstats.chars_percentiles_by_lang,
@@ -463,26 +468,30 @@ def _gopher_repetition_sql() -> str:
     )
 
 
-def _span_window_ctes(w: int) -> str:
+def _span_window_ctes(w: int, keep_pos: bool = False) -> str:
     """The shared lead()-window md5 span-identity construction (one
     window per token position, NULL-propagating '||' keeps partial
-    windows out of ``gm``).  ONE definition: ``_dup_span_sql`` and
-    ``_dup_span_stats_sql`` must agree on what a span IS, so the CTE
-    chain ending in ``gm(url, span_md5)`` lives here."""
+    windows out of ``gm``).  ONE definition: ``_dup_span_sql``,
+    ``_dup_span_stats_sql`` and ``_dup_span_removal_sql`` must agree on
+    what a span IS, so the CTE chain ending in ``gm(url, span_md5)``
+    lives here.  ``keep_pos`` threads the window's start token index
+    through as ``gm.i`` (the removal oracle expands windows back into
+    covered token positions; the census/stats oracles don't need it)."""
     leads = ", ".join(
         f"lead(w, {k}) OVER (PARTITION BY url ORDER BY i) AS w{k}"
         for k in range(1, w)
     )
     cols = ["w"] + [f"w{k}" for k in range(1, w)]
     ng = " || ".join(f"length({c}) || ':' || {c}" for c in cols)
+    pos = "i, " if keep_pos else ""
     return (
         "WITH d AS (SELECT url, coalesce(text, '') AS text "
         f"FROM read_parquet('{_webtext.corpus_glob(_GOLDEN_SF)}')), "
         "t AS (SELECT url, regexp_extract_all(text, '\\S+') AS toks FROM d), "
         "wp AS (SELECT url, unnest(toks) AS w, "
         "generate_subscripts(toks, 1) AS i FROM t), "
-        f"wo AS (SELECT url, w, {leads} FROM wp), "
-        f"gm AS (SELECT url, md5({ng}) AS span_md5 FROM wo "
+        f"wo AS (SELECT url, {pos}w, {leads} FROM wp), "
+        f"gm AS (SELECT url, {pos}md5({ng}) AS span_md5 FROM wo "
         f"WHERE w{w - 1} IS NOT NULL)"
     )
 
@@ -516,6 +525,35 @@ def _dup_span_stats_sql(w: int = 10, min_urls: int = 2) -> str:
         "SELECT d.url, coalesce(wu.n_windows, 0) AS n_windows, "
         "coalesce(wu.n_dup_windows, 0) AS n_dup_windows "
         "FROM d LEFT JOIN wu USING (url)"
+    )
+
+
+def _dup_span_removal_sql(w: int = 10, min_urls: int = 2) -> str:
+    """Independent recompute of ``dup_span_removal``: shared span
+    identity WITH positions, census via HAVING, duplicated windows
+    expanded back into covered token indices (``generate_series`` cross
+    join + DISTINCT — overlapping windows cover a token once), then a
+    per-url rebuild of the surviving text with an ordered filtered
+    ``string_agg`` — blind to the engine's cheap-hash prefilter, sharded
+    md5 set, and diff-array cover mask."""
+    return (
+        _span_window_ctes(w, keep_pos=True)
+        + ", cen AS (SELECT span_md5 FROM gm GROUP BY span_md5 "
+        f"HAVING count(DISTINCT url) >= {min_urls}), "
+        "dw AS (SELECT url, i FROM gm "
+        "WHERE span_md5 IN (SELECT span_md5 FROM cen)), "
+        "cov AS (SELECT DISTINCT url, i + gs.generate_series AS j "
+        f"FROM dw, generate_series(0, {w - 1}) gs), "
+        "ka AS (SELECT wp.url, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "CAST(count(*) FILTER (cov.j IS NOT NULL) AS BIGINT) AS n_removed, "
+        "md5(coalesce(string_agg(wp.w, ' ' ORDER BY wp.i) "
+        "FILTER (cov.j IS NULL), '')) AS clean_md5 "
+        "FROM wp LEFT JOIN cov ON cov.url = wp.url AND cov.j = wp.i "
+        "GROUP BY wp.url) "
+        "SELECT d.url, coalesce(ka.n_tokens, 0) AS n_tokens, "
+        "coalesce(ka.n_removed, 0) AS n_removed, "
+        "coalesce(ka.clean_md5, md5('')) AS clean_md5 "
+        "FROM d LEFT JOIN ka USING (url)"
     )
 
 
@@ -913,6 +951,7 @@ def oracle_sql() -> dict[str, str]:
         # so the oracle is blind to the op's cheap-hash candidacy pass
         "dup_span_census": _dup_span_sql(),
         "dup_span_stats": _dup_span_stats_sql(),
+        "dup_span_removal": _dup_span_removal_sql(),
         # training-export ops: md5_number_lower(url) is the pinned
         # shard/partition identity (≡ int.from_bytes(md5[8:], 'little'),
         # tests/test_export.py); checksum is the order-independent

@@ -769,7 +769,7 @@ DUP_SPAN_W = 10
 _SPAN_HASH_B = 1099511628211  # FNV-64 prime; odd, so invertible mod 2^64
 
 
-def _window_hashes(df: pd.DataFrame, w: int):
+def _window_hashes(df: pd.DataFrame, w: int, tok=None):
     """All w-token windows of a batch: (doc_index_per_window,
     flat_start_pos, cheap uint64 rolling hash, tok_id, uniq_tokens).
 
@@ -779,9 +779,13 @@ def _window_hashes(df: pd.DataFrame, w: int):
     INTERNAL ONLY: candidacy is decided on it, output identity never is
     (md5 of the token-joined window is the public key, so a cheap-hash
     collision can inflate the candidate set but never the result).
+
+    ``tok`` lets a caller that also needs the flat-token scaffold (the
+    removal pass's cover mask) share ONE ``_flat_tokens`` run.
     """
     t = df["text"].fillna("").reset_index(drop=True)
-    tok = _flat_tokens(t)
+    if tok is None:
+        tok = _flat_tokens(t)
     if tok is None:
         return None
     n_tok, doc, tok_id, uniq, starts = tok
@@ -1187,3 +1191,123 @@ def dup_span_stats(sf_dir: str, w: int = DUP_SPAN_W,
         )
 
     return ds.map_batches(finalize, batch_format="pandas", batch_size=2048)
+
+
+# -------------------------------------------------------- dup_span_removal
+
+
+def dup_span_removal(sf_dir: str, w: int = DUP_SPAN_W,
+                     min_urls: int = 2) -> rd.Dataset:
+    """Exact-substring duplicate-span REMOVAL — the scrub pass the census
+    only measures (Lee et al. 2022 apply it before training): every token
+    that sits inside a ``w``-token window occurring in ≥ ``min_urls``
+    distinct documents is dropped, in EVERY document carrying it (the
+    C4 §2.2 convention: removal is symmetric, no keeper copy — a
+    keep-first variant needs a per-span keeper election in the census
+    reduce and is noted, not implemented).  Emits per url: ``n_tokens``,
+    ``n_removed`` (covered tokens), and ``clean_md5`` — md5 of the
+    surviving tokens joined by single spaces (md5('') for empty docs), so
+    the scrubbed text is verified without shipping it.
+
+    Scale shape — three linear scans, no new exchange kinds:
+
+    - pass 1 reuses the census's cheap-hash candidate discovery
+      (``_dup_span_candidates``: packed-blob shuffle, sharded refs);
+    - pass 2 reuses ``_dup_span_pass2`` and reduces the TRUE duplicated
+      set per md5-part — packed as sorted ``S32`` hex blobs →
+      ``_shard_refs`` (the removal set is O(duplicated content), so it
+      gets the same never-one-driver-array treatment as the candidates);
+    - pass 3 is map-only: re-derive windows, md5 ONLY cheap-hash
+      candidates, membership-test against the url-batch's md5-part
+      slices, then a diff-array cover mask (+1 at window start, −1 at
+      start+w, cumsum>0) marks covered tokens — windows never cross
+      document boundaries, so the mask can't leak across urls.
+
+    Identity note: the removal decision is made on the md5 span key —
+    exactly the identity the census publishes and the SQL oracle
+    recomputes — so a cheap-hash collision can only cost a wasted md5,
+    never a wrong removal.
+    """
+    import ray
+
+    n_parts = 64
+    ds = _read_corpus(sf_dir, ["url", "text"])
+    cand_refs = _dup_span_candidates(ds, w, min_urls, n_parts)
+
+    def pass2(df: pd.DataFrame) -> pd.DataFrame:
+        return _dup_span_pass2(df, w, n_parts, cand_refs)
+
+    def pack_census(g: pd.DataFrame) -> pd.DataFrame:
+        cen = g.groupby("span_md5")["url"].nunique()
+        dup = cen.index[cen >= min_urls].to_numpy(dtype="S32")
+        dup.sort()
+        return pd.DataFrame(
+            {"part": [int(g["part"].iloc[0])], "ms": [dup.tobytes()]}
+        )
+
+    dup_refs = _shard_refs(
+        ds.map_batches(pass2, batch_format="pandas", batch_size=1024)
+        .groupby("part")
+        .map_groups(pack_census, batch_format="pandas"),
+        n_parts,
+        lambda row: np.frombuffer(row["ms"], dtype="S32"),
+    )
+
+    _EMPTY_MD5 = hashlib.md5(b"").hexdigest()
+
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("").reset_index(drop=True)
+        urls = df["url"].reset_index(drop=True)
+        tok = _flat_tokens(t)
+        if tok is None:
+            z = np.zeros(len(t), dtype=np.int64)
+            return pd.DataFrame(
+                {"url": urls, "n_tokens": z, "n_removed": z,
+                 "clean_md5": np.full(len(t), _EMPTY_MD5, dtype=object)}
+            )
+        n_tok, doc, tok_id, uniq, starts = tok
+        total = int(n_tok.sum())
+        cov = np.zeros(total, dtype=bool)
+        r = _window_hashes(df, w, tok=tok)
+        if r is not None:
+            _, pos, acc, _, _ = r
+            part_w = (acc % np.uint64(n_parts)).astype(np.int64)
+            m = np.nonzero(_sharded_isin(acc, part_w, cand_refs))[0]
+            if len(m):
+                digs = np.array(
+                    [
+                        hashlib.md5(
+                            span_key(
+                                uniq[tok_id[p0 + j]] for j in range(w)
+                            ).encode("utf-8")
+                        ).hexdigest()
+                        for p0 in pos[m]
+                    ],
+                    dtype=object,
+                )
+                dpart = (pd.util.hash_array(digs) % n_parts).astype(np.int64)
+                hit = _sharded_isin(digs.astype("S32"), dpart, dup_refs)
+                if hit.any():
+                    dup_starts = pos[m][hit]
+                    diff = np.zeros(total + 1, dtype=np.int64)
+                    np.add.at(diff, dup_starts, 1)
+                    np.add.at(diff, dup_starts + w, -1)
+                    cov = np.cumsum(diff[:-1]) > 0
+        n_removed = np.bincount(
+            doc, weights=cov.astype(np.float64), minlength=len(t)
+        ).astype(np.int64)
+        toks = uniq[tok_id]
+        keep = ~cov
+        clean_md5 = [
+            hashlib.md5(
+                " ".join(toks[starts[i]:starts[i + 1]][keep[starts[i]:starts[i + 1]]])
+                .encode("utf-8")
+            ).hexdigest()
+            for i in range(len(t))
+        ]
+        return pd.DataFrame(
+            {"url": urls, "n_tokens": n_tok, "n_removed": n_removed,
+             "clean_md5": clean_md5}
+        )
+
+    return ds.map_batches(scrub, batch_format="pandas", batch_size=1024)

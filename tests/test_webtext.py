@@ -412,3 +412,70 @@ def test_dup_span_candidates_sharded_not_broadcast(ray_session):
         np.array([h for h, n in c.items() if n >= 2], dtype=np.uint64)
     )
     assert np.array_equal(got, expect)
+
+
+def test_dup_span_removal_kernel_semantics(ray_session):
+    """dup_span_removal on a crafted corpus: tokens inside cross-doc
+    duplicated windows are removed in EVERY carrier (symmetric, no
+    keeper); overlapping dup windows cover a token once; same-doc-only
+    repeats and short docs survive untouched; clean_md5 rebuilds the
+    surviving tokens with a single-space join."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import latyas_ray.ops.webtext as wt
+
+    span = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"  # exactly W=10 tokens
+    docs = {
+        "u_a": f"xx {span} yy",
+        "u_b": f"{span} zz {span}",
+        "u_short": "w0 w1 w2 w3 w4",
+        "u_selfrep": ("s0 s1 s2 s3 s4 s5 s6 s7 s8 s9 pad "
+                      "s0 s1 s2 s3 s4 s5 s6 s7 s8 s9"),
+        "u_empty": "",
+        # dup span twice with one-token stagger: the two windows'
+        # covers overlap, each covered token must count once
+        "u_overlap": f"a0 {span} {span}",
+    }
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(
+            pa.table({"url": list(docs), "text": list(docs.values())}),
+            os.path.join(td, "pages-00000.parquet"),
+        )
+        base = rd.read_parquet(os.path.join(td, "pages-00000.parquet"))
+        orig = wt._read_corpus
+        wt._read_corpus = lambda sf_dir, columns: base.select_columns(columns)
+        try:
+            out = (
+                wt.dup_span_removal(td).to_pandas()
+                .set_index("url").sort_index()
+            )
+        finally:
+            wt._read_corpus = orig
+
+    def md5(s):
+        return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+    # u_a: the 10 span tokens removed, 'xx yy' survives
+    assert out.loc["u_a", "n_tokens"] == 12
+    assert out.loc["u_a", "n_removed"] == 10
+    assert out.loc["u_a", "clean_md5"] == md5("xx yy")
+    # u_b: both occurrences removed, 'zz' survives
+    assert out.loc["u_b", "n_removed"] == 20
+    assert out.loc["u_b", "clean_md5"] == md5("zz")
+    # u_overlap: all 20 span tokens removed once each, 'a0' survives
+    assert out.loc["u_overlap", "n_tokens"] == 21
+    assert out.loc["u_overlap", "n_removed"] == 20
+    assert out.loc["u_overlap", "clean_md5"] == md5("a0")
+    # same-doc-only repeats: min_urls=2 distinct urls -> untouched
+    assert out.loc["u_selfrep", "n_removed"] == 0
+    # short and empty docs: pass through with whitespace-normalized md5
+    assert out.loc["u_short", "n_removed"] == 0
+    assert out.loc["u_short", "clean_md5"] == md5("w0 w1 w2 w3 w4")
+    assert out.loc["u_empty", "n_tokens"] == 0
+    assert out.loc["u_empty", "clean_md5"] == md5("")
