@@ -230,11 +230,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # simhash_neardup's pipeline)
         "lm_perplexity": _oracled("lm_perplexity", _lm.lm_perplexity),
         "ccnet_tiers": _oracled("ccnet_tiers", _lm.ccnet_tiers),
+        # round-4 DSIR importance weights (in-window: never
+        # driver-verified; displaces 3-round-green
+        # lineitem_pricing_summary, whose partial-agg-rollup shape stays
+        # covered in-window by doc_stats_by_lang / domain_stats)
+        "dsir_weights": _oracled("dsir_weights", _lm.dsir_weights),
         "doc_fingerprints": _oracled("doc_fingerprints", _textstats.doc_fingerprints),
         # web-corpus curation over the CC-shaped pages table (independent
         # DuckDB SQL oracles over the same parquet shards)
         "latest_snapshot": _webtext.latest_snapshot,
         "domain_stats": _webtext.domain_stats,
+        # round-4 stage-1 URL gate (in-window: never driver-verified; it
+        # displaces 2-round-green embedding_neardup — the documented-weak
+        # full-broadcast baseline whose scale path, in-window
+        # embedding_neardup_ivf, computes the same pair set)
+        "url_filter": _webtext.url_filter,
         "pii_scrub": _webtext.pii_scrub,
         "line_repetition": _webtext.line_repetition,
         "line_dedup": _webtext.line_dedup,
@@ -266,7 +276,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_check": _dedup.contamination_check,
         # similarity search over embeddings
         "ann_topk_ivf": _oracled("ann_topk_ivf", _similarity.ann_topk_ivf),
-        "embedding_neardup": _similarity.embedding_neardup_pairs,
         "embedding_neardup_ivf": _oracled(
             "embedding_neardup_ivf", _similarity.embedding_neardup_ivf
         ),
@@ -280,7 +289,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution_asof": _events.attribution_asof,
         "events_nearby_counts": _events.events_nearby_counts,
         # relational patterns (partial agg, broadcast join)
-        "lineitem_pricing_summary": _relational.lineitem_pricing_summary,
         "orders_by_nation": _relational.orders_by_nation,
         "parts_by_brand": _relational.parts_by_brand,
         # entry #50 — the round-4 addition takes the window's last slot
@@ -294,6 +302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # broadcast joins ≡ orders_by_nation) ----
         "top_docs": _textstats.top_docs,
         "ann_topk": _similarity.ann_topk,
+        "embedding_neardup": _similarity.embedding_neardup_pairs,
+        "lineitem_pricing_summary": _relational.lineitem_pricing_summary,
         "quality_stats": _textstats.quality_stats,
         "word_counts": _textstats.word_counts,
         "chars_percentiles_by_lang": _textstats.chars_percentiles_by_lang,
@@ -525,6 +535,32 @@ def _dup_span_stats_sql(w: int = 10, min_urls: int = 2) -> str:
         "SELECT d.url, coalesce(wu.n_windows, 0) AS n_windows, "
         "coalesce(wu.n_dup_windows, 0) AS n_dup_windows "
         "FROM d LEFT JOIN wu USING (url)"
+    )
+
+
+def _url_filter_sql() -> str:
+    """Independent recompute of ``url_filter`` with DuckDB's
+    ``split_part`` url parsing (the host/section semantics every webtext
+    oracle pins); the blocklist CASE and banned-segment IN list are
+    generated from the op's own constants — one home, no drift."""
+    cases = " ".join(
+        f"WHEN '{h}' THEN '{c}'"
+        for h, c in sorted(_webtext.URL_BLOCKLIST.items())
+    )
+    segs = ", ".join(f"'{s}'" for s in _webtext.URL_BANNED_SEGMENTS)
+    return (
+        "WITH d AS (SELECT url, "
+        "split_part(split_part(url, '://', 2), '/', 1) AS host, "
+        "split_part(split_part(url, '://', 2), '/', 2) AS section "
+        f"FROM read_parquet('{_webtext.corpus_glob(_GOLDEN_SF)}')), "
+        f"f AS (SELECT url, host, CASE host {cases} ELSE '' END "
+        "AS block_category, section FROM d) "
+        "SELECT url, host, block_category, "
+        "CAST(block_category <> '' AS BIGINT) AS host_blocked, "
+        f"CAST(section IN ({segs}) AS BIGINT) AS path_flagged, "
+        "CAST(block_category = '' "
+        f"AND section NOT IN ({segs}) AS BIGINT) AS keep "
+        "FROM f"
     )
 
 
@@ -952,6 +988,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_census": _dup_span_sql(),
         "dup_span_stats": _dup_span_stats_sql(),
         "dup_span_removal": _dup_span_removal_sql(),
+        "url_filter": _url_filter_sql(),
         # training-export ops: md5_number_lower(url) is the pinned
         # shard/partition identity (≡ int.from_bytes(md5[8:], 'little'),
         # tests/test_export.py); checksum is the order-independent
@@ -1033,6 +1070,10 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_tiers": (
             "SELECT lang, tier, n_docs, sum_bigrams "
             f"FROM read_parquet('{oracle_path(_GOLDEN_SF, 'ccnet_tiers')}')"
+        ),
+        "dsir_weights": (
+            "SELECT doc_id, n_features, dsir_logw_micro "
+            f"FROM read_parquet('{oracle_path(_GOLDEN_SF, 'dsir_weights')}')"
         ),
         "doc_fingerprints": (
             "SELECT doc_id, min_window_hash, md5_64 "

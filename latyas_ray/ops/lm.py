@@ -452,3 +452,141 @@ def ccnet_tiers(sf_dir: str) -> pd.DataFrame:
     out = merge_partials(partials, ["lang", "tier"],
                          {"n_docs": "sum", "sum_bigrams": "sum"})
     return out.astype({"n_docs": "int64", "sum_bigrams": "int64"})
+
+
+# ------------------------------------------------------------ dsir_weights
+#
+# DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every document by
+# the log-likelihood ratio of a hashed-n-gram bag-of-words model fit on a
+# TARGET slice vs one fit on the RAW corpus.  The paper hashes unigrams +
+# bigrams into a fixed bucket space (10k); here the space is DSIR_NB
+# buckets and the target slice is the lang == DSIR_TARGET_LANG documents
+# (no external target corpus exists in this environment).  Hash-bucket
+# collisions are part of the operator DEFINITION (hashed features are
+# lossy by design), so the bucket hash — pandas' fixed-key siphash over
+# the token string, bigrams combined with the same FNV multiplier the
+# dup-span rolling hash uses — is a pinned shared constant, like
+# TOKEN_RE; the serial oracle re-derives everything else (counting,
+# smoothing, quantization, summation) with an independent dict-and-loop
+# construction (oracles.py).
+#
+# Integer-exact contract, same as the LM above: per-bucket scores are
+# quantized micro-nats, ``qlog(p_cnt+1, p_tot+NB) - qlog(q_cnt+1,
+# q_tot+NB)`` (add-one smoothing over the bucket space), computed ONCE on
+# the driver from exact integer counts; per-document weights are integer
+# sums of those scores, so batch boundaries and float summation order
+# cannot move a single bit.
+#
+# Scale shape (100 TB):
+# - counts pass: per-batch bincount into two length-NB int64 arrays
+#   (raw + target), packed as ONE blob row per batch — the exchange is
+#   O(batches) 64 KiB rows into a single-task sum, never a per-key
+#   shuffle (the key space is bounded at NB);
+# - score table: O(NB) ints, broadcast once via ray.put;
+# - scoring pass: map-only — re-hash, gather scores, one bincount
+#   segment-sum per batch.  Nothing corpus-proportional on the driver.
+
+DSIR_NB = 4096
+DSIR_B = 1099511628211  # FNV-64 prime (webtext._SPAN_HASH_B)
+DSIR_TARGET_LANG = "en"
+
+
+def _dsir_buckets(texts: pd.Series):
+    """(doc_index, bucket) per hashed feature — all unigrams then all
+    bigrams of the pinned ``\\S+`` tokens.  Returns ``None`` for a
+    tokenless batch."""
+    from .webtext import _flat_tokens
+
+    tok = _flat_tokens(texts)
+    if tok is None:
+        return None
+    n_tok, doc, tok_id, uniq, starts = tok
+    th = pd.util.hash_array(uniq.astype(object))[tok_id]
+    total = len(th)
+    uni = th % np.uint64(DSIR_NB)
+    pos_in_doc = np.arange(total, dtype=np.int64) - starts[doc]
+    i = np.nonzero(pos_in_doc <= n_tok[doc] - 2)[0]
+    bi = (th[i] + th[i + 1] * np.uint64(DSIR_B)) % np.uint64(DSIR_NB)
+    return (
+        np.concatenate([doc, doc[i]]),
+        np.concatenate([uni, bi]).astype(np.int64),
+    )
+
+
+def _qlog_table(p_cnt: np.ndarray, p_tot: int,
+                q_cnt: np.ndarray, q_tot: int) -> np.ndarray:
+    """Per-bucket quantized log-ratio scores from exact integer counts."""
+    return np.array(
+        [
+            _qlog_micro(int(p_cnt[b]) + 1, p_tot + DSIR_NB)
+            - _qlog_micro(int(q_cnt[b]) + 1, q_tot + DSIR_NB)
+            for b in range(DSIR_NB)
+        ],
+        dtype=np.int64,
+    )
+
+
+def dsir_weights(sf_dir: str) -> rd.Dataset:
+    """Per-document DSIR importance weight over the documents table:
+    (doc_id, n_features, dsir_logw_micro) — n_features the hashed
+    unigram+bigram count, dsir_logw_micro the integer micro-nat
+    log-likelihood ratio (positive = looks like the target slice)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.zeros(DSIR_NB, dtype=np.int64)
+        p = np.zeros(DSIR_NB, dtype=np.int64)
+        r = _dsir_buckets(df["text"].fillna("").reset_index(drop=True))
+        if r is not None:
+            doc, buckets = r
+            q = np.bincount(buckets, minlength=DSIR_NB).astype(np.int64)
+            en = (
+                df["lang"].reset_index(drop=True) == DSIR_TARGET_LANG
+            ).to_numpy()
+            p = np.bincount(
+                buckets[en[doc]], minlength=DSIR_NB
+            ).astype(np.int64)
+        return pd.DataFrame({"q": [q.tobytes()], "p": [p.tobytes()]})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        q = np.frombuffer(b"".join(g["q"]), dtype=np.int64).reshape(
+            -1, DSIR_NB
+        ).sum(axis=0)
+        p = np.frombuffer(b"".join(g["p"]), dtype=np.int64).reshape(
+            -1, DSIR_NB
+        ).sum(axis=0)
+        return pd.DataFrame({"q": [q.tobytes()], "p": [p.tobytes()]})
+
+    row = (
+        ds.map_batches(counts, batch_format="pandas", batch_size=1024)
+        .repartition(1)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    q_cnt = np.frombuffer(row["q"].iloc[0], dtype=np.int64)
+    p_cnt = np.frombuffer(row["p"].iloc[0], dtype=np.int64)
+    score_ref = ray.put(
+        _qlog_table(p_cnt, int(p_cnt.sum()), q_cnt, int(q_cnt.sum()))
+    )
+
+    def score_batch(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        n_features = np.zeros(n, dtype=np.int64)
+        logw = np.zeros(n, dtype=np.int64)
+        r = _dsir_buckets(df["text"].fillna("").reset_index(drop=True))
+        if r is not None:
+            sc = ray.get(score_ref)
+            doc, buckets = r
+            n_features = np.bincount(doc, minlength=n).astype(np.int64)
+            # int scores are exactly representable in float64 (< 2^53)
+            # and so are the sums at any realistic doc length
+            logw = np.bincount(
+                doc, weights=sc[buckets].astype(np.float64), minlength=n
+            ).astype(np.int64)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].reset_index(drop=True).astype("int64"),
+             "n_features": n_features, "dsir_logw_micro": logw}
+        )
+
+    return ds.map_batches(score_batch, batch_format="pandas", batch_size=1024)

@@ -380,6 +380,58 @@ def boilerplate_strip(sf_dir: str, min_urls: int = 10) -> rd.Dataset:
     return ds.map_batches(strip, batch_format="pandas", batch_size=2048)
 
 
+# ------------------------------------------------------------- url_filter
+
+# UT1-style URL filtering (the RefinedWeb/FineWeb stage-1 gate: a curated
+# host blocklist with categories + banned path keywords, applied BEFORE
+# any text is read).  The in-repo blocklist is a deterministic stand-in
+# for a real UT1 snapshot (~4M hosts); category values follow UT1's
+# directory names.  ONE home for both the engine and the SQL oracle (the
+# oracle string is generated from these constants, so the two sides can
+# never drift).
+URL_BLOCKLIST = {
+    "site11.example": "adult",
+    "site29.example": "gambling",
+    "site53.example": "malware",
+    "site71.example": "adult",
+}
+URL_BANNED_SEGMENTS = ("shop",)
+
+
+def url_filter(sf_dir: str) -> rd.Dataset:
+    """Stage-1 URL gate: (url, host, block_category, host_blocked,
+    path_flagged, keep) — keep = host not blocklisted AND first path
+    segment not banned.  Runs on the ``url`` column ALONE (column-pruned
+    read: the whole point of URL filtering is dropping documents before
+    their text ships anywhere).
+
+    Scale shape: map-only; the blocklist broadcasts once via ``ray.put``
+    (a real UT1 snapshot is ~100 MB of hosts — plasma-cached per node,
+    shipped once per node, not per task; at that size a dict lookup per
+    batch stays the right shape, no shuffle needed)."""
+    import ray
+
+    ds = _read_corpus(sf_dir, ["url"])
+    bl_ref = ray.put(URL_BLOCKLIST)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        bl = ray.get(bl_ref)
+        urls = df["url"].reset_index(drop=True)
+        host, section = _host_section(urls)
+        cat = host.map(bl).fillna("")
+        host_blocked = (cat != "").to_numpy()
+        path_flagged = section.isin(URL_BANNED_SEGMENTS).to_numpy()
+        keep = ~host_blocked & ~path_flagged
+        return pd.DataFrame(
+            {"url": urls, "host": host, "block_category": cat,
+             "host_blocked": host_blocked.astype(np.int64),
+             "path_flagged": path_flagged.astype(np.int64),
+             "keep": keep.astype(np.int64)}
+        )
+
+    return ds.map_batches(flag, batch_format="pandas", batch_size=8192)
+
+
 # -------------------------------------------------------- gopher_quality
 
 # Gopher rule constants (Rae et al. 2021, table A1) — pinned once, shared

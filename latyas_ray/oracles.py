@@ -897,6 +897,66 @@ def _oracle_ccnet_tiers(sf_dir: str) -> pa.Table:
     })
 
 
+# ------------------------------------------------------------ dsir_weights
+
+
+def _oracle_dsir_weights(sf_dir: str) -> pa.Table:
+    """Independent serial recompute of ``ops.lm.dsir_weights``: per-doc
+    Python token loop, Counter-based bucket counts, masked-int bigram
+    combine, math.log quantization — shares with the engine only the
+    pinned definitional constants (token class, bucket hash function,
+    DSIR_NB / DSIR_B / target lang, qlog form)."""
+    import re as _re
+    from collections import Counter
+
+    import pandas as _pd
+
+    from .ops.common import TOKEN_RE
+    from .ops.lm import DSIR_B, DSIR_NB, DSIR_TARGET_LANG, LM_QSCALE
+
+    tok_pat = _re.compile(TOKEN_RE)
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    ).to_pandas()
+    t = t.sort_values("doc_id").reset_index(drop=True)
+
+    def buckets_of(text: str) -> list:
+        toks = tok_pat.findall(text or "")
+        if not toks:
+            return []
+        hs = [int(h) for h in _pd.util.hash_array(np.array(toks, dtype=object))]
+        out = [h % DSIR_NB for h in hs]
+        out += [((a + b * DSIR_B) & _M64) % DSIR_NB for a, b in zip(hs, hs[1:])]
+        return out
+
+    per_doc = [buckets_of(x) for x in t["text"]]
+    q_cnt = Counter()
+    p_cnt = Counter()
+    for bks, lang in zip(per_doc, t["lang"]):
+        q_cnt.update(bks)
+        if lang == DSIR_TARGET_LANG:
+            p_cnt.update(bks)
+    q_tot = sum(q_cnt.values())
+    p_tot = sum(p_cnt.values())
+
+    def qlog(num: int, den: int) -> int:
+        return int(math.floor(math.log(num / den) * LM_QSCALE + 0.5))
+
+    score = {
+        b: qlog(p_cnt.get(b, 0) + 1, p_tot + DSIR_NB)
+        - qlog(q_cnt.get(b, 0) + 1, q_tot + DSIR_NB)
+        for b in range(DSIR_NB)
+    }
+    n_features = [len(bks) for bks in per_doc]
+    logw = [sum(score[b] for b in bks) for bks in per_doc]
+    return pa.table({
+        "doc_id": pa.array(t["doc_id"].astype("int64"), pa.int64()),
+        "n_features": pa.array(n_features, pa.int64()),
+        "dsir_logw_micro": pa.array(logw, pa.int64()),
+    })
+
+
 _BUILDERS = {
     "lang_id": _oracle_lang_id,
     "doc_fingerprints": _oracle_doc_fingerprints,
@@ -916,4 +976,5 @@ _BUILDERS = {
     "video_frame_features": _oracle_video_frames,
     "lm_perplexity": _oracle_lm_perplexity,
     "ccnet_tiers": _oracle_ccnet_tiers,
+    "dsir_weights": _oracle_dsir_weights,
 }

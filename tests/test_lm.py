@@ -146,3 +146,64 @@ def test_qlog_micro_pinned():
     assert lm._qlog_micro(1, 1) == 0
     assert lm._qlog_micro(1, 2) == -693147
     assert lm._qlog_micro(2, 1) == 693147
+
+
+def test_dsir_weights_matches_oracle_and_discriminates(ray_session):
+    """Engine vs independent serial oracle at sf0.001; the weight must
+    actually discriminate: English docs (the target slice) score higher
+    on average than non-English ones, and a tokenless doc scores 0."""
+    from latyas_ray.oracles import _oracle_dsir_weights
+
+    out = (
+        lm.dsir_weights(SF).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    exp = _oracle_dsir_weights(SF).to_pandas()
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+    docs = pq.read_table(
+        os.path.join(SF, "documents.parquet"), columns=["doc_id", "lang"]
+    ).to_pandas()
+    m = out.merge(docs, on="doc_id")
+    scored = m[m["n_features"] > 0]
+    en = scored[scored["lang"] == lm.DSIR_TARGET_LANG]["dsir_logw_micro"]
+    rest = scored[scored["lang"] != lm.DSIR_TARGET_LANG]["dsir_logw_micro"]
+    assert en.mean() > rest.mean()
+    assert (out.loc[out["n_features"] == 0, "dsir_logw_micro"] == 0).all()
+
+
+def test_dsir_weights_batch_invariance(ray_session, tmp_path):
+    """Bit-identical output across batch boundaries (the integer-exact
+    contract): tiny batches vs one batch over a hand-built table."""
+    t = pa.table({
+        "doc_id": pa.array(range(8), pa.int64()),
+        "text": ["alpha beta gamma", "alpha beta", "", "gamma gamma gamma",
+                 "x", "alpha beta gamma delta", "beta", "delta delta"],
+        "lang": ["en", "en", "en", "de", "de", "en", "fr", "de"],
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    a = (
+        lm.dsir_weights(str(tmp_path)).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    import latyas_ray.ops.common as common
+    import ray.data as rd
+
+    orig = common.read_table
+    try:
+        common.read_table = lambda sf_dir, name, columns=None: (
+            rd.read_parquet(
+                os.path.join(sf_dir, f"{name}.parquet"), columns=columns,
+                override_num_blocks=8,
+            )
+        )
+        lm_read = lm.read_table
+        lm.read_table = common.read_table
+        b = (
+            lm.dsir_weights(str(tmp_path)).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+    finally:
+        common.read_table = orig
+        lm.read_table = lm_read
+    pd.testing.assert_frame_equal(a, b)

@@ -479,3 +479,43 @@ def test_dup_span_removal_kernel_semantics(ray_session):
     assert out.loc["u_short", "clean_md5"] == md5("w0 w1 w2 w3 w4")
     assert out.loc["u_empty", "n_tokens"] == 0
     assert out.loc["u_empty", "clean_md5"] == md5("")
+
+
+def test_url_filter_kernel_semantics(ray_session):
+    """url_filter flags blocklisted hosts (with category) and banned
+    first-path segments; everything else keeps.  Missing-scheme urls
+    parse to host '' (split_part semantics) and keep."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import latyas_ray.ops.webtext as wt
+
+    urls = [
+        "https://site11.example/news/1",   # blocklisted host (adult)
+        "https://site29.example/docs/2",   # blocklisted host (gambling)
+        "https://site0.example/shop/3",    # banned path segment
+        "https://site0.example/news/4",    # clean
+        "no-scheme-url",                    # host '' -> keep
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(
+            pa.table({"url": urls}), os.path.join(td, "pages-00000.parquet")
+        )
+        base = rd.read_parquet(os.path.join(td, "pages-00000.parquet"))
+        orig = wt._read_corpus
+        wt._read_corpus = lambda sf_dir, columns: base.select_columns(columns)
+        try:
+            out = wt.url_filter(td).to_pandas().set_index("url")
+        finally:
+            wt._read_corpus = orig
+
+    assert out.loc[urls[0], "block_category"] == "adult"
+    assert out.loc[urls[0], "host_blocked"] == 1 and out.loc[urls[0], "keep"] == 0
+    assert out.loc[urls[1], "block_category"] == "gambling"
+    assert out.loc[urls[2], "path_flagged"] == 1 and out.loc[urls[2], "keep"] == 0
+    assert out.loc[urls[3], "keep"] == 1
+    assert out.loc[urls[4], "host"] == "" and out.loc[urls[4], "keep"] == 1
