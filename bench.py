@@ -199,6 +199,8 @@ def run_bench() -> dict:
     op_fns["c4_quality"] = webtext.c4_quality
     op_fns["dup_span_census"] = webtext.dup_span_census
     op_fns["dup_span_stats"] = webtext.dup_span_stats
+    op_fns["dup_span_removal"] = webtext.dup_span_removal
+    op_fns["url_filter"] = webtext.url_filter
     op_fns["quality_funnel"] = webtext.quality_funnel
     from latyas_ray.ops import export as _export
 
@@ -208,6 +210,7 @@ def run_bench() -> dict:
 
     op_fns["lm_perplexity"] = _lm.lm_perplexity
     op_fns["ccnet_tiers"] = _lm.ccnet_tiers
+    op_fns["dsir_weights"] = _lm.dsir_weights
     if skip_queries:
         op_fns = {}
     for name, fn in op_fns.items():

@@ -444,7 +444,7 @@ GOPHER_STOPWORDS = _GOPHER_STOPWORDS  # pinned in ops/common.py — the
 GOPHER_BULLET_PREFIXES = ("- ", "* ", "• ")
 
 
-def _flat_tokens(t: pd.Series):
+def _flat_tokens(t: pd.Series, return_flat: bool = False):
     """ONE flat-token construction for every per-document token kernel
     (quality, repetition, span census): pinned-ASCII token lists exploded
     to a flat id array with per-document extents.
@@ -485,6 +485,11 @@ def _flat_tokens(t: pd.Series):
     tok_id = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     uniq = np.asarray(d.dictionary.to_pylist(), dtype=object)
     starts = np.concatenate(([0], np.cumsum(n_tok)))
+    if return_flat:
+        # the Arrow flat token array, for callers that rebuild per-doc
+        # strings with vectorized kernels (dup_span_removal's
+        # binary_join) instead of Python joins over object arrays
+        return n_tok, doc, tok_id, uniq, starts, flat_ne
     return n_tok, doc, tok_id, uniq, starts
 
 
@@ -1310,14 +1315,15 @@ def dup_span_removal(sf_dir: str, w: int = DUP_SPAN_W,
     def scrub(df: pd.DataFrame) -> pd.DataFrame:
         t = df["text"].fillna("").reset_index(drop=True)
         urls = df["url"].reset_index(drop=True)
-        tok = _flat_tokens(t)
-        if tok is None:
+        tok6 = _flat_tokens(t, return_flat=True)
+        if tok6 is None:
             z = np.zeros(len(t), dtype=np.int64)
             return pd.DataFrame(
                 {"url": urls, "n_tokens": z, "n_removed": z,
                  "clean_md5": np.full(len(t), _EMPTY_MD5, dtype=object)}
             )
-        n_tok, doc, tok_id, uniq, starts = tok
+        n_tok, doc, tok_id, uniq, starts, flat_ne = tok6
+        tok = (n_tok, doc, tok_id, uniq, starts)
         total = int(n_tok.sum())
         cov = np.zeros(total, dtype=bool)
         r = _window_hashes(df, w, tok=tok)
@@ -1348,14 +1354,21 @@ def dup_span_removal(sf_dir: str, w: int = DUP_SPAN_W,
         n_removed = np.bincount(
             doc, weights=cov.astype(np.float64), minlength=len(t)
         ).astype(np.int64)
-        toks = uniq[tok_id]
-        keep = ~cov
+        # vectorized clean-text rebuild: filter the Arrow flat token
+        # array by the keep mask, re-list it with the kept-count
+        # offsets, join per doc in C (binary_join), md5 the results.
+        # (The Python ' '.join-per-doc form of this re-serialized the
+        # whole corpus through object arrays and dominated the stage.)
+        kept_flat = flat_ne.filter(pa.array(~cov))
+        offsets = np.concatenate(
+            ([0], np.cumsum(n_tok - n_removed))
+        ).astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), kept_flat), " "
+        )
         clean_md5 = [
-            hashlib.md5(
-                " ".join(toks[starts[i]:starts[i + 1]][keep[starts[i]:starts[i + 1]]])
-                .encode("utf-8")
-            ).hexdigest()
-            for i in range(len(t))
+            hashlib.md5(s.encode("utf-8")).hexdigest()
+            for s in joined.to_pylist()
         ]
         return pd.DataFrame(
             {"url": urls, "n_tokens": n_tok, "n_removed": n_removed,
