@@ -579,11 +579,11 @@ def dsir_weights(sf_dir: str) -> rd.Dataset:
             sc = ray.get(score_ref)
             doc, buckets = r
             n_features = np.bincount(doc, minlength=n).astype(np.int64)
-            # int scores are exactly representable in float64 (< 2^53)
-            # and so are the sums at any realistic doc length
-            logw = np.bincount(
-                doc, weights=sc[buckets].astype(np.float64), minlength=n
-            ).astype(np.int64)
+            # pure-int64 segment sum: a float64-weighted bincount would
+            # lose low bits past 2^53 on pathologically long documents
+            # (hundreds of MB), silently breaking the bit-exact oracle
+            # contract — np.add.at keeps it unconditional
+            np.add.at(logw, doc, sc[buckets])
         return pd.DataFrame(
             {"doc_id": df["doc_id"].reset_index(drop=True).astype("int64"),
              "n_features": n_features, "dsir_logw_micro": logw}
