@@ -240,6 +240,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DuckDB SQL oracles over the same parquet shards)
         "latest_snapshot": _webtext.latest_snapshot,
         "domain_stats": _webtext.domain_stats,
+        # round-4 link-graph rollup over the html channel (in-window:
+        # never driver-verified; displaces 3-round-green dedup_exact,
+        # whose coarse-hash-shuffle dedup shape is embedded in in-window
+        # minhash_dedup's exact-collapse stage)
+        "outlink_stats": _webtext.outlink_stats,
         # round-4 stage-1 URL gate (in-window: never driver-verified; it
         # displaces 2-round-green embedding_neardup — the documented-weak
         # full-broadcast baseline whose scale path, in-window
@@ -266,7 +271,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_export": _export.shard_export,
         "pack_sequences": _export.pack_sequences,
         # dedup family
-        "dedup_exact": _dedup.dedup_exact,
         "minhash_dedup": _oracled("minhash_dedup", _dedup.minhash_dedup),
         # simhash_neardup's SQL oracle is an all-pairs popcount self-join
         # over the FINGERPRINT snapshot (genuinely independent of the
@@ -303,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs": _textstats.top_docs,
         "ann_topk": _similarity.ann_topk,
         "embedding_neardup": _similarity.embedding_neardup_pairs,
+        "dedup_exact": _dedup.dedup_exact,
         "lineitem_pricing_summary": _relational.lineitem_pricing_summary,
         "quality_stats": _textstats.quality_stats,
         "word_counts": _textstats.word_counts,
@@ -535,6 +540,40 @@ def _dup_span_stats_sql(w: int = 10, min_urls: int = 2) -> str:
         "SELECT d.url, coalesce(wu.n_windows, 0) AS n_windows, "
         "coalesce(wu.n_dup_windows, 0) AS n_dup_windows "
         "FROM d LEFT JOIN wu USING (url)"
+    )
+
+
+def _outlink_stats_sql() -> str:
+    """Independent recompute of ``outlink_stats``: DuckDB ``decode()``
+    over the hex-magic-gated html channel (exact — every non-PDF corpus
+    payload is valid utf-8, a pinned corpus invariant), unnested
+    ``regexp_extract_all`` hrefs, split_part target-host parse."""
+    from latyas_ray.ops.webtext import OUTLINK_HREF_RE
+
+    return (
+        "WITH d AS (SELECT url, CASE WHEN substr(hex(html), 1, 8) = "
+        "'25504446' THEN NULL ELSE decode(html) END AS h "
+        f"FROM read_parquet('{_webtext.corpus_glob(_GOLDEN_SF)}')), "
+        "p AS (SELECT split_part(split_part(url, '://', 2), '/', 1) "
+        "AS host, h FROM d), "
+        "l AS (SELECT host, unnest(regexp_extract_all(h, "
+        f"'{OUTLINK_HREF_RE.replace(chr(39), chr(39) * 2)}', 1)) AS href "
+        "FROM p WHERE h IS NOT NULL), "
+        "le AS (SELECT host, href, CASE WHEN (href LIKE 'http://%' OR "
+        "href LIKE 'https://%') AND "
+        "split_part(split_part(href, '://', 2), '/', 1) <> host "
+        "THEN 1 ELSE 0 END AS ext FROM l), "
+        "la AS (SELECT host, CAST(count(*) AS BIGINT) AS n_links, "
+        "CAST(sum(ext) AS BIGINT) AS n_external_links, "
+        "CAST(count(DISTINCT href) AS BIGINT) AS n_distinct_hrefs "
+        "FROM le GROUP BY host), "
+        "pg AS (SELECT host, CAST(count(*) AS BIGINT) AS n_pages, "
+        "CAST(count(h) AS BIGINT) AS n_html_pages FROM p GROUP BY host) "
+        "SELECT pg.host, n_pages, n_html_pages, "
+        "coalesce(n_links, 0) AS n_links, "
+        "coalesce(n_external_links, 0) AS n_external_links, "
+        "coalesce(n_distinct_hrefs, 0) AS n_distinct_hrefs "
+        "FROM pg LEFT JOIN la USING (host)"
     )
 
 
@@ -989,6 +1028,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_stats": _dup_span_stats_sql(),
         "dup_span_removal": _dup_span_removal_sql(),
         "url_filter": _url_filter_sql(),
+        "outlink_stats": _outlink_stats_sql(),
         # training-export ops: md5_number_lower(url) is the pinned
         # shard/partition identity (≡ int.from_bytes(md5[8:], 'little'),
         # tests/test_export.py); checksum is the order-independent

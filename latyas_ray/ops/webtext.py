@@ -50,7 +50,7 @@ import ray.data as rd
 
 from ..corpus import ensure_corpus_for_sf, sf_label_from_dir
 from .common import GOPHER_STOPWORDS as _GOPHER_STOPWORDS
-from .common import TOKEN_RE, WS_RE
+from .common import TOKEN_RE, WS_RE, merge_partials
 
 # RE2-safe ASCII patterns, shared verbatim with the SQL oracles.  The
 # Python side MUST compile with re.ASCII: RE2's \b and \d are ASCII-only,
@@ -430,6 +430,103 @@ def url_filter(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(flag, batch_format="pandas", batch_size=8192)
+
+
+# ---------------------------------------------------------- outlink_stats
+
+# The link-graph rollup every crawl pipeline computes before centrality
+# filtering (FineWeb's harmonic-centrality gate consumes exactly this
+# edge material).  Pinned identities, shared with the SQL oracle:
+# - html channel = payload NOT starting with the %PDF magic (the same
+#   channel test the extraction router uses); SQL gates on
+#   substr(hex(html),1,8) <> '25504446';
+# - href extraction is the literal double-quoted-attribute regex below
+#   (RE2-safe, no classes with unicode semantics);
+# - link target host parses with the same split_part semantics as
+#   `_host_section`; a link is EXTERNAL iff it is scheme-absolute and
+#   its host differs from the page's.
+# The engine decodes with errors="replace" (total on dirty crawls); the
+# oracle's decode() is exact because every non-PDF corpus payload is
+# valid utf-8 — pinned by a corpus-invariant test.
+OUTLINK_HREF_RE = r'href="([^"]*)"'
+_OUTLINK_PAT = _re.compile(OUTLINK_HREF_RE)
+
+
+def outlink_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-host outlink rollup over the html channel: (host, n_pages,
+    n_html_pages, n_links, n_external_links, n_distinct_hrefs).
+
+    Scale shape: one pruned (url, html) scan; per-batch partials keyed
+    by (host, href, kind) — bounded by the per-host distinct-href sets,
+    the same two-level partial-agg shape as ``word_counts`` — merged in
+    one task (``merge_partials``); page counters ride the same exchange
+    as kind-0 rows, so the op is ONE scan + one tiny move, no shuffle
+    of raw links."""
+    ds = _read_corpus(sf_dir, ["url", "html"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        urls = df["url"].reset_index(drop=True)
+        host, _ = _host_section(urls)
+        texts = []
+        for h in df["html"]:
+            if h is None or bytes(h[:4]) == b"%PDF":
+                texts.append(None)
+            else:
+                texts.append(bytes(h).decode("utf-8", errors="replace"))
+        is_html = pd.Series([t is not None for t in texts])
+        pages = pd.DataFrame(
+            {"host": host, "href": "", "kind": np.int64(0),
+             "n": np.int64(0), "n_ext": np.int64(0),
+             "n_pages": np.int64(1),
+             "n_html_pages": is_html.astype(np.int64)}
+        ).groupby(["host", "href", "kind"], as_index=False).sum()
+        hrefs = [
+            _OUTLINK_PAT.findall(t) if t is not None else [] for t in texts
+        ]
+        lens = np.fromiter((len(x) for x in hrefs), dtype=np.int64,
+                           count=len(hrefs))
+        if lens.sum() == 0:
+            return pages
+        flat = pd.Series(
+            [h for row in hrefs for h in row], dtype=object
+        )
+        link_host = host.to_numpy()[np.repeat(np.arange(len(hrefs)), lens)]
+        target_host, _ = _host_section(flat)
+        abs_scheme = flat.str.startswith(("http://", "https://"))
+        ext = (
+            abs_scheme & (target_host.to_numpy() != link_host)
+        ).to_numpy()
+        links = (
+            pd.DataFrame(
+                {"host": link_host, "href": flat, "kind": np.int64(1),
+                 # n = occurrences; n_ext = external occurrences (ext is
+                 # a property of the href string, 0/1 per occurrence)
+                 "n": np.int64(1), "n_ext": ext.astype(np.int64),
+                 "n_pages": np.int64(0), "n_html_pages": np.int64(0)}
+            )
+            .groupby(["host", "href", "kind"], as_index=False)
+            .sum()
+        )
+        return pd.concat([pages, links], ignore_index=True)
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=2048)
+    m = merge_partials(
+        partials, ["host", "href", "kind"],
+        {"n": "sum", "n_ext": "sum", "n_pages": "sum",
+         "n_html_pages": "sum"},
+    )
+    pages = m[m["kind"] == 0].groupby("host", as_index=False).agg(
+        n_pages=("n_pages", "sum"), n_html_pages=("n_html_pages", "sum")
+    )
+    links = m[m["kind"] == 1].groupby("host", as_index=False).agg(
+        n_links=("n", "sum"), n_external_links=("n_ext", "sum"),
+        n_distinct_hrefs=("href", "count"),
+    )
+    out = pages.merge(links, on="host", how="left").fillna(0)
+    for c in ("n_links", "n_external_links", "n_distinct_hrefs"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("host").reset_index(drop=True)
 
 
 # -------------------------------------------------------- gopher_quality

@@ -96,7 +96,7 @@ OPS_QUERIES = [
     # round-4 additions: training export (plain SQL) + CCNet LM family
     # (serial-oracle snapshots)
     "shard_export", "pack_sequences", "lm_perplexity", "ccnet_tiers",
-    "dup_span_removal", "url_filter", "dsir_weights",
+    "dup_span_removal", "url_filter", "dsir_weights", "outlink_stats",
 ]
 
 

@@ -519,3 +519,66 @@ def test_url_filter_kernel_semantics(ray_session):
     assert out.loc[urls[2], "path_flagged"] == 1 and out.loc[urls[2], "keep"] == 0
     assert out.loc[urls[3], "keep"] == 1
     assert out.loc[urls[4], "host"] == "" and out.loc[urls[4], "keep"] == 1
+
+
+def test_outlink_stats_kernel_semantics(ray_session):
+    """outlink_stats on a crafted corpus: PDF payloads count as pages
+    but not html pages; internal/relative links are never external;
+    scheme-absolute links to another host are; distinct-href counting is
+    per host across pages."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import latyas_ray.ops.webtext as wt
+
+    rows = [
+        ("https://a.example/news/1",
+         b'<a href="/news">n</a><a href="/news">n</a>'
+         b'<a href="https://b.example/x">b</a>'),
+        ("https://a.example/blog/2",
+         b'<a href="/news">n</a><a href="https://a.example/self">s</a>'),
+        ("https://a.example/docs/3", b"%PDF-1.4 binary\xff\x00stuff"),
+        ("https://b.example/news/4", b"<p>no links</p>"),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(
+            pa.table({"url": [r[0] for r in rows],
+                      "html": pa.array([r[1] for r in rows], pa.binary())}),
+            os.path.join(td, "pages-00000.parquet"),
+        )
+        base = rd.read_parquet(os.path.join(td, "pages-00000.parquet"))
+        orig = wt._read_corpus
+        wt._read_corpus = lambda sf_dir, columns: base.select_columns(columns)
+        try:
+            out = wt.outlink_stats(td).set_index("host")
+        finally:
+            wt._read_corpus = orig
+
+    a = out.loc["a.example"]
+    # 3 pages, 2 html (the PDF is gated out), 5 links, distinct hrefs:
+    # /news, https://b.example/x, https://a.example/self -> 3
+    assert a["n_pages"] == 3 and a["n_html_pages"] == 2
+    assert a["n_links"] == 5 and a["n_distinct_hrefs"] == 3
+    # only the b.example link is external (same-host absolute is not)
+    assert a["n_external_links"] == 1
+    b = out.loc["b.example"]
+    assert b["n_pages"] == 1 and b["n_links"] == 0
+    assert b["n_external_links"] == 0 and b["n_distinct_hrefs"] == 0
+
+
+def test_corpus_html_channel_decodes_strictly():
+    """Pinned invariant the outlink SQL oracle's exact decode() relies
+    on: every non-PDF payload in the generated corpus is valid utf-8
+    (the engine's errors='replace' is therefore a no-op here)."""
+    from latyas_ray.corpus import make_row
+
+    for doc_id in range(400):
+        row = make_row(doc_id)
+        h = row["html"]
+        if h[:4] == b"%PDF":
+            continue
+        h.decode("utf-8")  # raises on violation
