@@ -265,6 +265,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ann_topk_ivf's pipeline)
         "dup_span_removal": _webtext.dup_span_removal,
         "quality_funnel": _webtext.quality_funnel,
+        # round-4 end-to-end curation composite (in-window: never
+        # driver-verified; displaces 2-round-green knn_label_vote, whose
+        # broadcast-matmul scoring shape is in-window via ann_topk_ivf)
+        "curation_pipeline": _webtext.curation_pipeline,
         # round-4 training-export ops (in-window: never driver-verified;
         # they displace 3-round-green quality_stats/word_counts, whose
         # shapes stay covered by token_counts/doc_stats_by_lang)
@@ -284,7 +288,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "embedding_neardup_ivf", _similarity.embedding_neardup_ivf
         ),
         "embedding_kmeans": _oracled("embedding_kmeans", _similarity.embedding_kmeans),
-        "knn_label_vote": _similarity.knn_label_vote,
         # stream-shaped ops over events (the two custom-join shapes Ray
         # Data lacks natively stay in-window; the plain tumbling/rollup
         # rows rotate to the tail)
@@ -308,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _similarity.ann_topk,
         "embedding_neardup": _similarity.embedding_neardup_pairs,
         "dedup_exact": _dedup.dedup_exact,
+        "knn_label_vote": _similarity.knn_label_vote,
         "lineitem_pricing_summary": _relational.lineitem_pricing_summary,
         "quality_stats": _textstats.quality_stats,
         "word_counts": _textstats.word_counts,
@@ -1189,5 +1193,24 @@ def oracle_sql() -> dict[str, str]:
         f"FROM ({oracles['gopher_quality']}) a "
         f"JOIN ({oracles['gopher_repetition']}) b USING (url) "
         f"JOIN ({oracles['c4_quality']}) c USING (url)"
+    )
+    # curation_pipeline: the full gate recomposed from the INDIVIDUAL
+    # ops' oracle constructions (url_filter + quality_funnel subqueries)
+    # plus a window-function keeper election — blind to the engine's
+    # single-pass shape, sharded keeper refs, and md5-number compare
+    oracles["curation_pipeline"] = (
+        f"WITH uf AS ({oracles['url_filter']}), "
+        f"fun AS ({oracles['quality_funnel']}), "
+        "ded AS (SELECT url, CAST(CASE WHEN url = min(url) OVER "
+        "(PARTITION BY md5(coalesce(text, ''))) THEN 1 ELSE 0 END "
+        "AS BIGINT) AS keep_dedup "
+        f"FROM read_parquet('{_webtext.corpus_glob(_GOLDEN_SF)}')) "
+        "SELECT uf.url, uf.keep AS keep_url, fun.keep AS keep_quality, "
+        "ded.keep_dedup, "
+        "CAST(uf.keep * fun.keep * ded.keep_dedup AS BIGINT) AS keep, "
+        "CAST(CASE WHEN uf.keep * fun.keep * ded.keep_dedup = 1 "
+        "THEN md5_number_lower(uf.url) % 64 ELSE -1 END AS BIGINT) "
+        "AS shard "
+        "FROM uf JOIN fun USING (url) JOIN ded USING (url)"
     )
     return oracles

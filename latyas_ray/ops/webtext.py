@@ -398,6 +398,18 @@ URL_BLOCKLIST = {
 URL_BANNED_SEGMENTS = ("shop",)
 
 
+def _url_gate(urls: pd.Series, bl: dict):
+    """ONE home for the URL-gate kernel (url_filter and the curation
+    composite must agree): (host, block_category, host_blocked,
+    path_flagged, keep)."""
+    host, section = _host_section(urls)
+    cat = host.map(bl).fillna("")
+    host_blocked = (cat != "").to_numpy()
+    path_flagged = section.isin(URL_BANNED_SEGMENTS).to_numpy()
+    keep = ~host_blocked & ~path_flagged
+    return host, cat, host_blocked, path_flagged, keep
+
+
 def url_filter(sf_dir: str) -> rd.Dataset:
     """Stage-1 URL gate: (url, host, block_category, host_blocked,
     path_flagged, keep) — keep = host not blocklisted AND first path
@@ -415,13 +427,10 @@ def url_filter(sf_dir: str) -> rd.Dataset:
     bl_ref = ray.put(URL_BLOCKLIST)
 
     def flag(df: pd.DataFrame) -> pd.DataFrame:
-        bl = ray.get(bl_ref)
         urls = df["url"].reset_index(drop=True)
-        host, section = _host_section(urls)
-        cat = host.map(bl).fillna("")
-        host_blocked = (cat != "").to_numpy()
-        path_flagged = section.isin(URL_BANNED_SEGMENTS).to_numpy()
-        keep = ~host_blocked & ~path_flagged
+        host, cat, host_blocked, path_flagged, keep = _url_gate(
+            urls, ray.get(bl_ref)
+        )
         return pd.DataFrame(
             {"url": urls, "host": host, "block_category": cat,
              "host_blocked": host_blocked.astype(np.int64),
@@ -1473,3 +1482,134 @@ def dup_span_removal(sf_dir: str, w: int = DUP_SPAN_W,
         )
 
     return ds.map_batches(scrub, batch_format="pandas", batch_size=1024)
+
+
+# ------------------------------------------------------- curation_pipeline
+
+
+def curation_pipeline(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
+    """The end-to-end FineWeb-style curation gate, composed in ONE
+    scoring pass: per url — ``keep_url`` (UT1 blocklist + banned path
+    segment, `_url_gate`), ``keep_quality`` (the Gopher-quality ∧
+    Gopher-repetition ∧ C4 funnel over a SHARED tokenization),
+    ``keep_dedup`` (exact-text keeper election: the lexicographic-min
+    url of each text-md5 group survives), ``keep`` = conjunction, and
+    ``shard`` = the training-export assignment
+    (``md5_number_lower(url) % n_shards``) for survivors, −1 otherwise.
+
+    This is the composition a real pipeline runs before export; the SQL
+    oracle rebuilds it from the INDIVIDUAL ops' own oracle constructions
+    (url_filter + quality_funnel subqueries + a window-function keeper
+    election), so the single-pass composition is verified end-to-end,
+    not assumed from the parts.
+
+    Scale shape — two linear scans, no new exchange kinds:
+
+    - **keeper election**: per-batch min-url per text-md5 partials
+      (min is associative), ONE coarse md5-keyed shuffle, per-part
+      sorted ``S32`` md5 keys + ``md5_number_lower(keeper_url)``
+      values packed as blobs → `_shard_refs` (the keeper set is
+      O(distinct texts) — corpus-proportional, so it gets the sharded
+      no-driver-array treatment);
+    - **gate pass**: map-only — URL flags, the three quality batteries
+      over one `_flat_tokens` run (the `quality_funnel` shape), keeper
+      lookup via searchsorted on the batch's md5-part slices.
+
+    Identity note: the engine's keeper test compares
+    ``md5_number_lower(url)`` values (64-bit) where the SQL oracle
+    compares url strings; equivalence assumes the url→md5-number map is
+    injective within a text-md5 group — the same definitional-hash
+    stance as the span/line identities (md5), one level weaker (64 vs
+    128 bits), acceptable because a within-group collision needs two
+    distinct urls with identical text AND identical low-64 md5.
+    """
+    import ray
+
+    n_parts = 64
+    ds = _read_corpus(sf_dir, ["url", "text"])
+
+    from .export import _md5_lower_arr
+
+    def ded_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("").reset_index(drop=True)
+        urls = df["url"].reset_index(drop=True)
+        md5s = np.array(
+            [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t],
+            dtype=object,
+        )
+        g = (
+            pd.DataFrame({"m": md5s, "url": urls})
+            .groupby("m", as_index=False)["url"].min()
+        )
+        g["part"] = (
+            pd.util.hash_array(g["m"].to_numpy(dtype=object)) % n_parts
+        ).astype("int64")
+        return g
+
+    def ded_pack(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("m", as_index=False)["url"].min()
+        keys = a["m"].to_numpy(dtype="S32")
+        order = np.argsort(keys)
+        keeper = _md5_lower_arr(a["url"].to_numpy(dtype=object))[order]
+        return pd.DataFrame(
+            {"part": [int(g["part"].iloc[0])],
+             "mk": [keys[order].tobytes()],
+             "kn": [keeper.tobytes()]}
+        )
+
+    keeper_refs = _shard_refs(
+        ds.map_batches(ded_partial, batch_format="pandas", batch_size=2048)
+        .groupby("part")
+        .map_groups(ded_pack, batch_format="pandas"),
+        n_parts,
+        lambda row: (
+            np.frombuffer(row["mk"], dtype="S32"),
+            np.frombuffer(row["kn"], dtype=np.uint64),
+        ),
+    )
+
+    bl_ref = ray.put(URL_BLOCKLIST)
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("").reset_index(drop=True)
+        urls = df["url"].reset_index(drop=True)
+        _, _, _, _, keep_url = _url_gate(urls, ray.get(bl_ref))
+        tok = _flat_tokens(t)
+        g = _gopher_quality_frame(df, tok=tok)
+        r = _gopher_repetition_frame(df, tok=tok)
+        c = _c4_quality_frame(df)
+        keep_q = (
+            g["passes_gopher"].to_numpy().astype(bool)
+            & r["passes_repetition"].to_numpy().astype(bool)
+            & c["passes_c4"].to_numpy().astype(bool)
+        )
+        md5s = np.array(
+            [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t],
+            dtype=object,
+        )
+        part = (pd.util.hash_array(md5s) % n_parts).astype(np.int64)
+        own = _md5_lower_arr(urls.to_numpy(dtype=object))
+        keeper = np.zeros(len(t), dtype=np.uint64)
+        m32 = md5s.astype("S32")
+        for p in np.unique(part):
+            ref = keeper_refs[int(p)]
+            if ref is None:
+                continue
+            keys, kn = ray.get(ref)
+            sel = part == p
+            keeper[sel] = _sorted_lookup(keys, kn, m32[sel])
+        keep_d = keeper == own
+        keep = keep_url & keep_q & keep_d
+        shard = np.where(
+            keep, (own % np.uint64(n_shards)).astype(np.int64), np.int64(-1)
+        )
+        return pd.DataFrame(
+            {"url": urls,
+             "keep_url": keep_url.astype(np.int64),
+             "keep_quality": keep_q.astype(np.int64),
+             "keep_dedup": keep_d.astype(np.int64),
+             "keep": keep.astype(np.int64),
+             "shard": shard}
+        )
+
+    return ds.map_batches(gate, batch_format="pandas", batch_size=512)

@@ -582,3 +582,60 @@ def test_corpus_html_channel_decodes_strictly():
         if h[:4] == b"%PDF":
             continue
         h.decode("utf-8")  # raises on violation
+
+
+def test_curation_pipeline_kernel_semantics(ray_session):
+    """curation_pipeline gate composition on a crafted corpus: each gate
+    fires independently; the exact-dedup keeper is the lexicographic-min
+    url of a text group; shard is assigned only to survivors."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import latyas_ray.ops.webtext as wt
+    from latyas_ray.ops.export import md5_number_lower
+
+    # a paragraph that passes all three quality batteries (>=50 tokens
+    # incl. stopwords, terminal lines, >=5 sentences, no lorem/brace)
+    good = (
+        "The market and the report with a growth of the system are here. "
+        "The energy and the water with a policy of the model are here. "
+        "The value and the trade with a health of the city are here. "
+        "The region and the science with a data of the plan are here. "
+        "The industry and the network with a result of the change are here."
+    )
+    rows = {
+        "https://site0.example/news/1": good,            # survivor (keeper)
+        "https://site0.example/news/2": good,            # dup -> dropped
+        "https://site11.example/news/3": good + " More of the same story here.",  # blocked host
+        "https://site0.example/shop/4": good + " Another different story here.",  # banned path
+        "https://site0.example/news/5": "short low quality",  # fails funnel
+    }
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(
+            pa.table({"url": list(rows), "text": list(rows.values())}),
+            os.path.join(td, "pages-00000.parquet"),
+        )
+        base = rd.read_parquet(os.path.join(td, "pages-00000.parquet"))
+        orig = wt._read_corpus
+        wt._read_corpus = lambda sf_dir, columns: base.select_columns(columns)
+        try:
+            out = wt.curation_pipeline(td).to_pandas().set_index("url")
+        finally:
+            wt._read_corpus = orig
+
+    k = out.loc["https://site0.example/news/1"]
+    assert k["keep"] == 1
+    assert k["shard"] == md5_number_lower("https://site0.example/news/1") % 64
+    d = out.loc["https://site0.example/news/2"]
+    assert d["keep_dedup"] == 0 and d["keep"] == 0 and d["shard"] == -1
+    assert d["keep_url"] == 1 and d["keep_quality"] == 1
+    b = out.loc["https://site11.example/news/3"]
+    assert b["keep_url"] == 0 and b["keep"] == 0
+    s = out.loc["https://site0.example/shop/4"]
+    assert s["keep_url"] == 0 and s["keep_dedup"] == 1
+    q = out.loc["https://site0.example/news/5"]
+    assert q["keep_quality"] == 0 and q["keep_url"] == 1 and q["keep"] == 0
