@@ -282,6 +282,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup": _oracled("simhash_fingerprints", _dedup.simhash_neardup),
         "ngram_jaccard": _dedup.ngram_jaccard,
         "contamination_check": _dedup.contamination_check,
+        # round-4 decontamination removal (in-window: never
+        # driver-verified; displaces 3-round-green events_window_counts,
+        # whose tumbling bucket-count is embedded in in-window
+        # events_nearby_counts' bucket-replication machinery)
+        "contamination_scrub": _dedup.contamination_scrub,
         # similarity search over embeddings
         "ann_topk_ivf": _oracled("ann_topk_ivf", _similarity.ann_topk_ivf),
         "embedding_neardup_ivf": _oracled(
@@ -291,7 +296,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stream-shaped ops over events (the two custom-join shapes Ray
         # Data lacks natively stay in-window; the plain tumbling/rollup
         # rows rotate to the tail)
-        "events_window_counts": _events.events_window_counts,
         "sessionize": _events.sessionize,
         "attribution_asof": _events.attribution_asof,
         "events_nearby_counts": _events.events_nearby_counts,
@@ -306,12 +310,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # token_counts/doc_stats_by_lang, top-k sort ≡ top_suppliers
         # in-window history, hash-sampling ≡ lang-stratified history,
         # hopping ≡ tumbling, rollup ≡ props rollup history, 2/3-way
-        # broadcast joins ≡ orders_by_nation) ----
+        # broadcast joins ≡ orders_by_nation; late-round rotations —
+        # ann_topk/embedding_neardup/knn_label_vote's broadcast-matmul
+        # scoring ≡ in-window ann_topk_ivf / embedding_neardup_ivf,
+        # dedup_exact's coarse-hash dedup ≡ minhash_dedup's
+        # exact-collapse stage, lineitem partial-agg ≡
+        # doc_stats_by_lang/domain_stats) ----
         "top_docs": _textstats.top_docs,
         "ann_topk": _similarity.ann_topk,
         "embedding_neardup": _similarity.embedding_neardup_pairs,
         "dedup_exact": _dedup.dedup_exact,
         "knn_label_vote": _similarity.knn_label_vote,
+        "events_window_counts": _events.events_window_counts,
         "lineitem_pricing_summary": _relational.lineitem_pricing_summary,
         "quality_stats": _textstats.quality_stats,
         "word_counts": _textstats.word_counts,
@@ -547,6 +557,47 @@ def _dup_span_stats_sql(w: int = 10, min_urls: int = 2) -> str:
     )
 
 
+def _contamination_scrub_sql(n_benchmark: int = 10, k: int = 3) -> str:
+    """Independent recompute of ``contamination_scrub``: the shared
+    shingle CTE for the benchmark set (string identity — blind to the
+    engine's blake2b/mix hashing), POSITIONAL shingles via lockstep
+    unnest comprehensions (generate_series cannot take lateral column
+    args), cover expansion, ordered filtered string_agg rebuild."""
+    last = k - 1
+    return (
+        "WITH " + _shingle_cte()
+        + f", bench AS (SELECT list_distinct(flatten(list(s))) AS bs "
+        f"FROM sh WHERE doc_id < {n_benchmark}), "
+        "ps AS (SELECT doc_id, "
+        "unnest([i FOR i IN range(1, len(words) - 1)]) AS i, "
+        f"unnest([array_to_string(words[i:i+{last}], ' ') "
+        "FOR i IN range(1, len(words) - 1)]) AS s "
+        f"FROM w WHERE len(words) >= {k}), "
+        "shrt AS (SELECT doc_id, array_to_string(words, ' ') AS s, "
+        f"len(words) AS nw FROM w WHERE len(words) BETWEEN 1 AND {last}), "
+        "hitp AS (SELECT doc_id, i FROM ps, bench "
+        "WHERE list_contains(bench.bs, ps.s)), "
+        "cov AS (SELECT DISTINCT doc_id, i + gs.generate_series AS j "
+        f"FROM hitp, generate_series(0, {last}) gs "
+        "UNION SELECT shrt.doc_id, gs2.generate_series AS j "
+        f"FROM shrt, bench, generate_series(1, {last}) gs2 "
+        "WHERE list_contains(bench.bs, shrt.s) "
+        "AND gs2.generate_series <= shrt.nw), "
+        "wp AS (SELECT doc_id, unnest(words) AS wd, "
+        "generate_subscripts(words, 1) AS i FROM w), "
+        "ka AS (SELECT wp.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "CAST(count(*) FILTER (cov.j IS NOT NULL) AS BIGINT) AS n_removed, "
+        "md5(coalesce(string_agg(wp.wd, ' ' ORDER BY wp.i) "
+        "FILTER (cov.j IS NULL), '')) AS clean_md5 "
+        "FROM wp LEFT JOIN cov ON cov.doc_id = wp.doc_id AND cov.j = wp.i "
+        "GROUP BY wp.doc_id) "
+        "SELECT d.doc_id, coalesce(ka.n_tokens, 0) AS n_tokens, "
+        "coalesce(ka.n_removed, 0) AS n_removed, "
+        "coalesce(ka.clean_md5, md5('')) AS clean_md5 "
+        "FROM documents d LEFT JOIN ka USING (doc_id)"
+    )
+
+
 def _outlink_stats_sql() -> str:
     """Independent recompute of ``outlink_stats``: DuckDB ``decode()``
     over the hex-magic-gated html channel (exact — every non-PDF corpus
@@ -713,6 +764,7 @@ def oracle_sql() -> dict[str, str]:
             "len(list_intersect(sh.s, b.bs)) >= 10 AS contaminated "
             "FROM sh CROSS JOIN bench b"
         ),
+        "contamination_scrub": _contamination_scrub_sql(),
         "ann_topk": (
             "WITH q AS (SELECT vec_id, embedding FROM embeddings "
             "ORDER BY vec_id LIMIT 5), "

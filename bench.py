@@ -160,6 +160,7 @@ def run_bench() -> dict:
         "parts_by_brand": relational.parts_by_brand,
         "ngram_jaccard": dedup.ngram_jaccard,
         "contamination_check": dedup.contamination_check,
+        "contamination_scrub": dedup.contamination_scrub,
     }
     from latyas_ray.pipelines.texmix_pipeline import (
         texmix_markdown,

@@ -690,3 +690,100 @@ def contamination_check(
         )
 
     return docs.map_batches(count_shared, batch_format="pandas", batch_size=4096)
+
+
+# ------------------------------------------------------ contamination_scrub
+
+
+def _shingle_seq(seg: np.ndarray, k: int = SHINGLE_K) -> np.ndarray:
+    """POSITIONAL shingle hashes for one doc (one per start index, NOT
+    deduplicated — the scrub's cover mask needs every occurrence).
+    Same chain as `_shingles_from_word_hashes`; docs shorter than ``k``
+    get one whole-doc shingle."""
+    n = len(seg)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n < k:
+        acc = np.zeros(1, dtype=np.uint64)
+        for t in range(n):
+            acc = _mix_step(acc, seg[t: t + 1])
+        return acc
+    width = n - k + 1
+    acc = np.zeros(width, dtype=np.uint64)
+    for t in range(k):
+        acc = _mix_step(acc, seg[t: t + width])
+    return acc
+
+
+def contamination_scrub(
+    sf_dir: str, n_benchmark: int = 10, k: int = SHINGLE_K
+) -> rd.Dataset:
+    """Benchmark decontamination REMOVAL — the scrub `contamination_check`
+    only flags (the GPT-3/PaLM convention: drop the overlapping spans,
+    keep the rest of the document): every token covered by a word-``k``-
+    gram shingle that appears in the benchmark set (docs
+    0..n_benchmark−1) is removed, including inside the benchmark docs
+    themselves (they are their own 100% overlap).  Emits (doc_id,
+    n_tokens, n_removed, clean_md5) — clean_md5 the md5 of the surviving
+    tokens space-joined, so the scrubbed text is verified without
+    shipping it.
+
+    Scale shape: the benchmark shingle set broadcasts once (sorted
+    uint64, O(benchmark) not O(corpus)); the scrub is one map-only pass
+    — positional shingles per doc, searchsorted membership, diff-array
+    cover mask (+1 at window start, −1 at start+k, cumsum>0), vectorized
+    over the batch.  Shingle-hash ≡ shingle-string identity is the same
+    pinned no-collision argument `ngram_jaccard` / `contamination_check`
+    stand on; docs shorter than ``k`` words are covered whole iff their
+    whole-text shingle is in the set."""
+    bench_ids = set(range(n_benchmark))
+    bench_sets = _shingle_sets_for(sf_dir, bench_ids)
+    bench = np.sort(np.fromiter(
+        set().union(*bench_sets.values()) if bench_sets else set(),
+        dtype=np.uint64,
+    ))
+    bench_ref = ray.put(bench)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    _empty_md5 = hashlib.md5(b"").hexdigest()
+
+    def scrub(batch: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bench_ref)
+        texts = batch["text"].fillna("").reset_index(drop=True)
+        segs = _word_hash_segments(texts)
+        toks = ascii_token_lists(texts)
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        n_tokens = np.empty(len(ids), dtype=np.int64)
+        n_removed = np.empty(len(ids), dtype=np.int64)
+        digests = []
+        for i in range(len(ids)):
+            seg = segs[i]
+            n = len(seg)
+            n_tokens[i] = n
+            if n == 0:
+                n_removed[i] = 0
+                digests.append(_empty_md5)
+                continue
+            sh = _shingle_seq(seg, k)
+            idx = np.searchsorted(b, sh)
+            ok = idx < len(b)
+            hit = np.zeros(len(sh), dtype=bool)
+            hit[ok] = b[idx[ok]] == sh[ok]
+            if n < k:
+                cov = np.full(n, bool(hit[0]))
+            else:
+                diff = np.zeros(n + 1, dtype=np.int64)
+                starts = np.nonzero(hit)[0]
+                np.add.at(diff, starts, 1)
+                np.add.at(diff, np.minimum(starts + k, n), -1)
+                cov = np.cumsum(diff[:-1]) > 0
+            n_removed[i] = int(cov.sum())
+            words = toks.iloc[i]
+            kept = " ".join(w for w, c in zip(words, cov) if not c)
+            digests.append(hashlib.md5(kept.encode("utf-8")).hexdigest())
+        return pd.DataFrame(
+            {"doc_id": ids, "n_tokens": n_tokens,
+             "n_removed": n_removed, "clean_md5": digests}
+        )
+
+    return docs.map_batches(scrub, batch_format="pandas", batch_size=4096)

@@ -315,3 +315,48 @@ def test_embedding_matrix_is_size_gated(ray_session, monkeypatch):
     monkeypatch.setattr(similarity, "_EMBEDDING_MATRIX_MAX_ROWS", 10)
     with pytest.raises(ValueError, match="embedding_neardup_ivf"):
         similarity._embedding_matrix("/root/testdata/sf0.01")
+
+
+def test_contamination_scrub_kernel_semantics(ray_session, tmp_path):
+    """contamination_scrub on a crafted documents table: benchmark docs
+    scrub to empty (their own 100% overlap), a training doc loses
+    exactly the tokens covered by shared 3-gram windows, clean docs and
+    sub-3-word docs pass through; n_benchmark=1 isolates the set."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from latyas_ray.ops.dedup import contamination_scrub
+
+    docs = [
+        (0, "alpha beta gamma delta"),          # benchmark: shingles
+                                                 # (alpha beta gamma),
+                                                 # (beta gamma delta)
+        (1, "xx alpha beta gamma yy"),           # one shared window
+        (2, "clean text with no overlap here"),
+        (3, "alpha beta"),                       # <3 words, whole-doc
+                                                 # shingle not in bench
+        (4, ""),
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                  "text": [t for _, t in docs]}),
+        os.path.join(tmp_path, "documents.parquet"),
+    )
+    out = (
+        contamination_scrub(str(tmp_path), n_benchmark=1)
+        .to_pandas().set_index("doc_id")
+    )
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert out.loc[0, "n_removed"] == 4 and out.loc[0, "clean_md5"] == md5("")
+    # doc 1: window (alpha beta gamma) matches -> tokens 2..4 covered
+    assert out.loc[1, "n_tokens"] == 5 and out.loc[1, "n_removed"] == 3
+    assert out.loc[1, "clean_md5"] == md5("xx yy")
+    assert out.loc[2, "n_removed"] == 0
+    assert out.loc[3, "n_removed"] == 0 and out.loc[3, "clean_md5"] == md5("alpha beta")
+    assert out.loc[4, "n_tokens"] == 0 and out.loc[4, "clean_md5"] == md5("")
