@@ -557,12 +557,18 @@ def _dup_span_stats_sql(w: int = 10, min_urls: int = 2) -> str:
     )
 
 
-def _contamination_scrub_sql(n_benchmark: int = 10, k: int = 3) -> str:
+def _contamination_scrub_sql(n_benchmark: int = 10) -> str:
     """Independent recompute of ``contamination_scrub``: the shared
     shingle CTE for the benchmark set (string identity — blind to the
     engine's blake2b/mix hashing), POSITIONAL shingles via lockstep
     unnest comprehensions (generate_series cannot take lateral column
-    args), cover expansion, ordered filtered string_agg rebuild."""
+    args), cover expansion, ordered filtered string_agg rebuild.  The
+    shingle width is pinned to the op's ``SHINGLE_K`` (the window-range
+    comprehensions and `_shingle_cte`'s bench strings are 3-gram forms;
+    a parameterized k here would silently diverge from them)."""
+    from latyas_ray.ops.dedup import SHINGLE_K
+
+    k = SHINGLE_K
     last = k - 1
     return (
         "WITH " + _shingle_cte()

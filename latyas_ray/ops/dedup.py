@@ -118,9 +118,12 @@ def _mix_step(acc: np.ndarray, word_hash: np.ndarray) -> np.ndarray:
     return x ^ (x >> _U64(31))
 
 
-def _shingles_from_word_hashes(seg: np.ndarray, k: int = SHINGLE_K) -> np.ndarray:
-    """Distinct shingle hashes for one doc given its word-hash sequence.
-    Docs shorter than ``k`` words contribute one shingle over all words."""
+def _shingle_seq(seg: np.ndarray, k: int = SHINGLE_K) -> np.ndarray:
+    """POSITIONAL shingle hashes for one doc (one per start index, not
+    deduplicated — `contamination_scrub`'s cover mask needs every
+    occurrence).  ONE home for the splitmix chain and the shorter-than-k
+    whole-doc branch; `_shingles_from_word_hashes` is its distinct
+    view."""
     n = len(seg)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
@@ -133,19 +136,28 @@ def _shingles_from_word_hashes(seg: np.ndarray, k: int = SHINGLE_K) -> np.ndarra
     acc = np.zeros(width, dtype=np.uint64)
     for t in range(k):
         acc = _mix_step(acc, seg[t: t + width])
-    return np.unique(acc)
+    return acc
 
 
-def _word_hash_segments(texts: pd.Series) -> List[np.ndarray]:
+def _shingles_from_word_hashes(seg: np.ndarray, k: int = SHINGLE_K) -> np.ndarray:
+    """Distinct shingle hashes for one doc given its word-hash sequence.
+    Docs shorter than ``k`` words contribute one shingle over all words."""
+    return np.unique(_shingle_seq(seg, k))
+
+
+def _word_hash_segments(texts: pd.Series, return_tokens: bool = False):
     """Per-doc word-hash arrays, with blake2b computed once per distinct
-    word in the batch (vocabulary-level, not occurrence-level)."""
+    word in the batch (vocabulary-level, not occurrence-level).
+    ``return_tokens`` also hands back the token lists so a caller that
+    rebuilds text (`contamination_scrub`) doesn't tokenize twice."""
     texts = texts.fillna("").reset_index(drop=True)
     split = ascii_token_lists(texts)  # pinned ASCII-ws tokenizer
     lens = split.str.len().fillna(0).astype(int).to_numpy()
     offsets = np.concatenate([[0], np.cumsum(lens)])
     exploded = split.explode().dropna()
     if len(exploded) == 0:
-        return [np.empty(0, dtype=np.uint64) for _ in range(len(texts))]
+        segs = [np.empty(0, dtype=np.uint64) for _ in range(len(texts))]
+        return (segs, split) if return_tokens else segs
     codes, uniques = pd.factorize(exploded.to_numpy())
     wh = np.fromiter(
         (_hash64(w.encode("utf-8")) for w in uniques),
@@ -153,7 +165,8 @@ def _word_hash_segments(texts: pd.Series) -> List[np.ndarray]:
         count=len(uniques),
     )
     whs = wh[codes]
-    return [whs[offsets[i]: offsets[i + 1]] for i in range(len(texts))]
+    segs = [whs[offsets[i]: offsets[i + 1]] for i in range(len(texts))]
+    return (segs, split) if return_tokens else segs
 
 
 def _shingles(text: str, k: int = SHINGLE_K) -> Set[int]:
@@ -695,29 +708,7 @@ def contamination_check(
 # ------------------------------------------------------ contamination_scrub
 
 
-def _shingle_seq(seg: np.ndarray, k: int = SHINGLE_K) -> np.ndarray:
-    """POSITIONAL shingle hashes for one doc (one per start index, NOT
-    deduplicated — the scrub's cover mask needs every occurrence).
-    Same chain as `_shingles_from_word_hashes`; docs shorter than ``k``
-    get one whole-doc shingle."""
-    n = len(seg)
-    if n == 0:
-        return np.empty(0, dtype=np.uint64)
-    if n < k:
-        acc = np.zeros(1, dtype=np.uint64)
-        for t in range(n):
-            acc = _mix_step(acc, seg[t: t + 1])
-        return acc
-    width = n - k + 1
-    acc = np.zeros(width, dtype=np.uint64)
-    for t in range(k):
-        acc = _mix_step(acc, seg[t: t + width])
-    return acc
-
-
-def contamination_scrub(
-    sf_dir: str, n_benchmark: int = 10, k: int = SHINGLE_K
-) -> rd.Dataset:
+def contamination_scrub(sf_dir: str, n_benchmark: int = 10) -> rd.Dataset:
     """Benchmark decontamination REMOVAL — the scrub `contamination_check`
     only flags (the GPT-3/PaLM convention: drop the overlapping spans,
     keep the rest of the document): every token covered by a word-``k``-
@@ -734,8 +725,12 @@ def contamination_scrub(
     cover mask (+1 at window start, −1 at start+k, cumsum>0), vectorized
     over the batch.  Shingle-hash ≡ shingle-string identity is the same
     pinned no-collision argument `ngram_jaccard` / `contamination_check`
-    stand on; docs shorter than ``k`` words are covered whole iff their
-    whole-text shingle is in the set."""
+    stand on; docs shorter than ``SHINGLE_K`` words are covered whole
+    iff their whole-text shingle is in the set.  The shingle width is
+    deliberately NOT a parameter: the benchmark set construction
+    (`_shingle_sets_for`) is pinned at ``SHINGLE_K``, and a divergent
+    width here would silently compare k-gram hashes against a 3-gram
+    set (`contamination_check` hides the knob for the same reason)."""
     bench_ids = set(range(n_benchmark))
     bench_sets = _shingle_sets_for(sf_dir, bench_ids)
     bench = np.sort(np.fromiter(
@@ -748,10 +743,12 @@ def contamination_scrub(
     _empty_md5 = hashlib.md5(b"").hexdigest()
 
     def scrub(batch: pd.DataFrame) -> pd.DataFrame:
+        from .webtext import _sorted_isin
+
+        k = SHINGLE_K
         b = ray.get(bench_ref)
         texts = batch["text"].fillna("").reset_index(drop=True)
-        segs = _word_hash_segments(texts)
-        toks = ascii_token_lists(texts)
+        segs, toks = _word_hash_segments(texts, return_tokens=True)
         ids = batch["doc_id"].to_numpy(dtype=np.int64)
         n_tokens = np.empty(len(ids), dtype=np.int64)
         n_removed = np.empty(len(ids), dtype=np.int64)
@@ -764,11 +761,7 @@ def contamination_scrub(
                 n_removed[i] = 0
                 digests.append(_empty_md5)
                 continue
-            sh = _shingle_seq(seg, k)
-            idx = np.searchsorted(b, sh)
-            ok = idx < len(b)
-            hit = np.zeros(len(sh), dtype=bool)
-            hit[ok] = b[idx[ok]] == sh[ok]
+            hit = _sorted_isin(_shingle_seq(seg, k), b)
             if n < k:
                 cov = np.full(n, bool(hit[0]))
             else:

@@ -50,7 +50,7 @@ import ray.data as rd
 
 from ..corpus import ensure_corpus_for_sf, sf_label_from_dir
 from .common import GOPHER_STOPWORDS as _GOPHER_STOPWORDS
-from .common import TOKEN_RE, WS_RE, merge_partials
+from .common import TOKEN_RE, WS_RE
 
 # RE2-safe ASCII patterns, shared verbatim with the SQL oracles.  The
 # Python side MUST compile with re.ASCII: RE2's \b and \d are ASCII-only,
@@ -461,16 +461,21 @@ OUTLINK_HREF_RE = r'href="([^"]*)"'
 _OUTLINK_PAT = _re.compile(OUTLINK_HREF_RE)
 
 
-def outlink_stats(sf_dir: str) -> pd.DataFrame:
+def outlink_stats(sf_dir: str) -> rd.Dataset:
     """Per-host outlink rollup over the html channel: (host, n_pages,
     n_html_pages, n_links, n_external_links, n_distinct_hrefs).
 
     Scale shape: one pruned (url, html) scan; per-batch partials keyed
-    by (host, href, kind) — bounded by the per-host distinct-href sets,
-    the same two-level partial-agg shape as ``word_counts`` — merged in
-    one task (``merge_partials``); page counters ride the same exchange
-    as kind-0 rows, so the op is ONE scan + one tiny move, no shuffle
-    of raw links."""
+    by (host, href, kind), then ONE coarse hash shuffle keyed by host —
+    the ``line_dedup`` shape, because the distinct (host, href) space
+    is corpus-proportional on a real crawl, so a single merge task (or
+    any driver-side array of it) would be the scale-killer this module
+    bans.  Each of the 64 partitions holds only its hosts' rows, does
+    one C groupby, and emits one row per host; page counters ride the
+    same exchange as kind-0 rows.  Returns a Dataset of per-host rows —
+    nothing corpus-proportional ever lands in one task or on the
+    driver."""
+    n_parts = 64
     ds = _read_corpus(sf_dir, ["url", "html"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -516,26 +521,36 @@ def outlink_stats(sf_dir: str) -> pd.DataFrame:
             .groupby(["host", "href", "kind"], as_index=False)
             .sum()
         )
-        return pd.concat([pages, links], ignore_index=True)
+        out = pd.concat([pages, links], ignore_index=True)
+        out["part"] = (
+            pd.util.hash_array(out["host"].to_numpy(dtype=object)) % n_parts
+        ).astype("int64")
+        return out
 
-    partials = ds.map_batches(partial, batch_format="pandas",
-                              batch_size=2048)
-    m = merge_partials(
-        partials, ["host", "href", "kind"],
-        {"n": "sum", "n_ext": "sum", "n_pages": "sum",
-         "n_html_pages": "sum"},
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["host", "href", "kind"], as_index=False).agg(
+            n=("n", "sum"), n_ext=("n_ext", "sum"),
+            n_pages=("n_pages", "sum"),
+            n_html_pages=("n_html_pages", "sum"),
+        )
+        pages = m[m["kind"] == 0].groupby("host", as_index=False).agg(
+            n_pages=("n_pages", "sum"),
+            n_html_pages=("n_html_pages", "sum"),
+        )
+        links = m[m["kind"] == 1].groupby("host", as_index=False).agg(
+            n_links=("n", "sum"), n_external_links=("n_ext", "sum"),
+            n_distinct_hrefs=("href", "count"),
+        )
+        out = pages.merge(links, on="host", how="left").fillna(0)
+        for c in ("n_links", "n_external_links", "n_distinct_hrefs"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=2048)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
     )
-    pages = m[m["kind"] == 0].groupby("host", as_index=False).agg(
-        n_pages=("n_pages", "sum"), n_html_pages=("n_html_pages", "sum")
-    )
-    links = m[m["kind"] == 1].groupby("host", as_index=False).agg(
-        n_links=("n", "sum"), n_external_links=("n_ext", "sum"),
-        n_distinct_hrefs=("href", "count"),
-    )
-    out = pages.merge(links, on="host", how="left").fillna(0)
-    for c in ("n_links", "n_external_links", "n_distinct_hrefs"):
-        out[c] = out[c].astype(np.int64)
-    return out.sort_values("host").reset_index(drop=True)
 
 
 # -------------------------------------------------------- gopher_quality

@@ -554,7 +554,7 @@ def test_outlink_stats_kernel_semantics(ray_session):
         orig = wt._read_corpus
         wt._read_corpus = lambda sf_dir, columns: base.select_columns(columns)
         try:
-            out = wt.outlink_stats(td).set_index("host")
+            out = wt.outlink_stats(td).to_pandas().set_index("host")
         finally:
             wt._read_corpus = orig
 
