@@ -316,6 +316,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup_exact's coarse-hash dedup ≡ minhash_dedup's
         # exact-collapse stage, lineitem partial-agg ≡
         # doc_stats_by_lang/domain_stats) ----
+        # dsir_resample completes the DSIR recipe (Gumbel-top-k
+        # importance resampling over dsir_weights); tail — no in-window
+        # slot is honestly free this round, its weights stage is
+        # driver-verified via in-window dsir_weights, and pytest runs
+        # the full serial-oracle parity at the driver's own sf
+        "dsir_resample": _oracled("dsir_resample", _lm.dsir_resample),
         "top_docs": _textstats.top_docs,
         "ann_topk": _similarity.ann_topk,
         "embedding_neardup": _similarity.embedding_neardup_pairs,
@@ -1176,6 +1182,10 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": (
             "SELECT doc_id, n_features, dsir_logw_micro "
             f"FROM read_parquet('{oracle_path(_GOLDEN_SF, 'dsir_weights')}')"
+        ),
+        "dsir_resample": (
+            "SELECT doc_id, dsir_logw_micro, gumbel_micro, score_micro "
+            f"FROM read_parquet('{oracle_path(_GOLDEN_SF, 'dsir_resample')}')"
         ),
         "doc_fingerprints": (
             "SELECT doc_id, min_window_hash, md5_64 "

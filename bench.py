@@ -214,6 +214,7 @@ def run_bench() -> dict:
     op_fns["lm_perplexity"] = _lm.lm_perplexity
     op_fns["ccnet_tiers"] = _lm.ccnet_tiers
     op_fns["dsir_weights"] = _lm.dsir_weights
+    op_fns["dsir_resample"] = _lm.dsir_resample
     if skip_queries:
         op_fns = {}
     for name, fn in op_fns.items():

@@ -590,3 +590,67 @@ def dsir_weights(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(score_batch, batch_format="pandas", batch_size=1024)
+
+
+# ----------------------------------------------------------- dsir_resample
+
+DSIR_RESAMPLE_K = 100
+
+
+def _gumbel_micro(doc_ids) -> np.ndarray:
+    """Deterministic per-doc Gumbel noise in integer micro-nats: the
+    uniform is seeded from the pinned md5-number of ``dsir-gumbel:{id}``
+    (``u = (v + 0.5) / 2^64`` ∈ (0,1), so neither log can hit 0), then
+    ``floor(-ln(-ln(u)) * 1e6 + 0.5)`` with ``math.log`` per value —
+    the same one-float64-quotient discipline as ``_qlog_micro``, so the
+    serial oracle reproduces every bit."""
+    from .export import md5_number_lower
+
+    out = np.empty(len(doc_ids), dtype=np.int64)
+    for i, d in enumerate(doc_ids):
+        v = md5_number_lower(f"dsir-gumbel:{int(d)}")
+        u = (v + 0.5) / 2.0 ** 64
+        out[i] = int(math.floor(-math.log(-math.log(u)) * LM_QSCALE + 0.5))
+    return out
+
+
+def dsir_resample(sf_dir: str, n_keep: int = DSIR_RESAMPLE_K) -> pd.DataFrame:
+    """DSIR step 2 — importance RESAMPLING via Gumbel-top-k (sampling
+    ``n_keep`` docs without replacement with probability ∝ exp(logw),
+    the standard Gumbel-max construction): keep the top ``n_keep`` docs
+    by ``dsir_logw_micro + gumbel_micro`` (deterministic seeded noise,
+    doc_id tie-break).  Emits (doc_id, dsir_logw_micro, gumbel_micro,
+    score_micro) for the kept set.
+
+    Scale shape: the weights pass is `dsir_weights` (map-only after a
+    bounded counts merge); the selection is distributed top-k without a
+    global sort — each batch keeps its local top-``n_keep``, the driver
+    merges O(batches × k) survivor rows (the ``top_docs`` shape)."""
+    scored = dsir_weights(sf_dir)
+
+    def add_score(df: pd.DataFrame) -> pd.DataFrame:
+        g = _gumbel_micro(df["doc_id"].to_numpy(dtype=np.int64))
+        out = pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "dsir_logw_micro": df["dsir_logw_micro"].astype("int64"),
+             "gumbel_micro": g}
+        )
+        out["score_micro"] = out["dsir_logw_micro"] + out["gumbel_micro"]
+        return out
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["score_micro", "doc_id"], ascending=[False, True]
+        ).head(n_keep)
+
+    parts = (
+        scored.map_batches(add_score, batch_format="pandas",
+                           batch_size=8192)
+        .map_batches(local_topk, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+    )
+    return (
+        parts.sort_values(["score_micro", "doc_id"], ascending=[False, True])
+        .head(n_keep)
+        .reset_index(drop=True)
+    )

@@ -957,6 +957,31 @@ def _oracle_dsir_weights(sf_dir: str) -> pa.Table:
     })
 
 
+def _oracle_dsir_resample(sf_dir: str) -> pa.Table:
+    """Serial recompute of ``ops.lm.dsir_resample``: weights via the
+    independent `_oracle_dsir_weights` construction, Gumbel noise from
+    the pinned seed function (definitional, like the bucket hash), full
+    sort + head instead of the engine's distributed local-top-k."""
+    from .ops.export import md5_number_lower
+    from .ops.lm import DSIR_RESAMPLE_K, LM_QSCALE
+
+    w = _oracle_dsir_weights(sf_dir).to_pandas()
+    rows = []
+    for doc_id, lw in zip(w["doc_id"], w["dsir_logw_micro"]):
+        v = md5_number_lower(f"dsir-gumbel:{int(doc_id)}")
+        u = (v + 0.5) / 2.0 ** 64
+        g = int(math.floor(-math.log(-math.log(u)) * LM_QSCALE + 0.5))
+        rows.append((int(doc_id), int(lw), g, int(lw) + g))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    rows = rows[:DSIR_RESAMPLE_K]
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "dsir_logw_micro": pa.array([r[1] for r in rows], pa.int64()),
+        "gumbel_micro": pa.array([r[2] for r in rows], pa.int64()),
+        "score_micro": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
 _BUILDERS = {
     "lang_id": _oracle_lang_id,
     "doc_fingerprints": _oracle_doc_fingerprints,
@@ -977,4 +1002,5 @@ _BUILDERS = {
     "lm_perplexity": _oracle_lm_perplexity,
     "ccnet_tiers": _oracle_ccnet_tiers,
     "dsir_weights": _oracle_dsir_weights,
+    "dsir_resample": _oracle_dsir_resample,
 }

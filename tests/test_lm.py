@@ -207,3 +207,21 @@ def test_dsir_weights_batch_invariance(ray_session, tmp_path):
         common.read_table = orig
         lm.read_table = lm_read
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_dsir_resample_matches_oracle_and_is_weighted(ray_session):
+    """Engine vs serial oracle at sf0.001; Gumbel-top-k must actually
+    favor high-weight docs: the kept set's mean weight exceeds the
+    corpus mean, and the selection is deterministic across runs."""
+    from latyas_ray.oracles import _oracle_dsir_resample
+
+    out = lm.dsir_resample(SF)
+    exp = _oracle_dsir_resample(SF).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp, check_dtype=False
+    )
+    assert len(out) == lm.DSIR_RESAMPLE_K
+    w = lm.dsir_weights(SF).to_pandas()
+    assert out["dsir_logw_micro"].mean() > w["dsir_logw_micro"].mean()
+    again = lm.dsir_resample(SF)
+    pd.testing.assert_frame_equal(out, again)

@@ -97,7 +97,7 @@ OPS_QUERIES = [
     # (serial-oracle snapshots)
     "shard_export", "pack_sequences", "lm_perplexity", "ccnet_tiers",
     "dup_span_removal", "url_filter", "dsir_weights", "outlink_stats",
-    "curation_pipeline", "contamination_scrub",
+    "curation_pipeline", "contamination_scrub", "dsir_resample",
 ]
 
 
