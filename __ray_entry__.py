@@ -220,8 +220,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_features": _q_video_frames,
         # text analysis over documents
         "doc_stats_by_lang": _textstats.doc_stats_by_lang,
-        "token_counts": _textstats.token_counts,
-        "quality_filter": _textstats.quality_filter,
+        # round-4 token-budget head extraction (in-window: never
+        # driver-verified; displaces 3-round-green token_counts, whose
+        # per-doc tokenization shape stays in-window via quality_funnel
+        # and doc_stats_by_lang)
+        "token_budget_mix": _oracled("lm_perplexity", _lm.token_budget_mix),
         "lang_id": _oracled("lang_id", _textstats.lang_id),
         # CCNet-style LM scoring + tiering (new this round — in-window;
         # they displace 3-round-green chars_percentiles_by_lang, whose
@@ -240,6 +243,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DuckDB SQL oracles over the same parquet shards)
         "latest_snapshot": _webtext.latest_snapshot,
         "domain_stats": _webtext.domain_stats,
+        # round-4 alpha-sampling mixture plan (in-window: never
+        # driver-verified; displaces 2-round-green quality_filter, whose
+        # threshold-gate shape stays in-window via gopher_quality /
+        # c4_quality)
+        "domain_mixture": _webtext.domain_mixture,
         # round-4 link-graph rollup over the html channel (in-window:
         # never driver-verified; displaces 3-round-green dedup_exact,
         # whose coarse-hash-shuffle dedup shape is embedded in in-window
@@ -322,6 +330,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-verified via in-window dsir_weights, and pytest runs
         # the full serial-oracle parity at the driver's own sf
         "dsir_resample": _oracled("dsir_resample", _lm.dsir_resample),
+        # rotated out for the round-4 mixture ops (token_counts 3×
+        # green, quality_filter 2× green; shapes covered in-window —
+        # see the displacement notes at their replacements)
+        "token_counts": _textstats.token_counts,
+        "quality_filter": _textstats.quality_filter,
         "top_docs": _textstats.top_docs,
         "ann_topk": _similarity.ann_topk,
         "embedding_neardup": _similarity.embedding_neardup_pairs,
@@ -981,6 +994,33 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(nc) AS BIGINT) AS sum_text_chars "
             "FROM p GROUP BY host"
         ),
+        # domain_mixture: all-integer alpha=1/2 host quotas; the oracle
+        # recomputes them with plain window functions, blind to the
+        # engine's two-pass coarse-hash shape.  floor(sqrt(double(n)))
+        # is the engine's _isqrt_arr expression verbatim.
+        "domain_mixture": (
+            "WITH p AS (SELECT url, split_part(split_part(url, '://', 2),"
+            " '/', 1) AS host "
+            f"FROM read_parquet('{_webtext.corpus_glob(_GOLDEN_SF)}')), "
+            "w AS (SELECT host, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS wh "
+            "FROM p GROUP BY host), "
+            "t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total, "
+            "greatest(CAST(sum(wh) AS BIGINT), 1) AS w_total FROM w), "
+            "r AS (SELECT p.url, p.host, w.n, w.wh, "
+            "CAST(row_number() OVER (PARTITION BY p.host "
+            "ORDER BY md5_number_lower(p.url), p.url) AS BIGINT) AS rnk "
+            "FROM p JOIN w ON p.host = w.host) "
+            "SELECT r.url, r.host, r.n AS n_host_pages, "
+            "least(r.n, (t.n_total "
+            f"* {_webtext.DOMAIN_MIX_NUM} // {_webtext.DOMAIN_MIX_DEN}) "
+            "* r.wh // t.w_total) AS host_quota, "
+            "r.rnk AS host_rank, "
+            "CAST(CASE WHEN r.rnk <= least(r.n, (t.n_total "
+            f"* {_webtext.DOMAIN_MIX_NUM} // {_webtext.DOMAIN_MIX_DEN}) "
+            "* r.wh // t.w_total) THEN 1 ELSE 0 END AS BIGINT) AS keep "
+            "FROM r CROSS JOIN t"
+        ),
         "pii_scrub": (
             "SELECT url, "
             "CAST(length(regexp_extract_all(coalesce(text, ''), "
@@ -1186,6 +1226,23 @@ def oracle_sql() -> dict[str, str]:
         "dsir_resample": (
             "SELECT doc_id, dsir_logw_micro, gumbel_micro, score_micro "
             f"FROM read_parquet('{oracle_path(_GOLDEN_SF, 'dsir_resample')}')"
+        ),
+        # token_budget_mix: the greedy budget cutoff is ONE window
+        # cumulative sum over the independent serial lm_perplexity
+        # snapshot — blind to the engine's histogram/refine/tie passes.
+        "token_budget_mix": (
+            "WITH s AS (SELECT doc_id, n_bigrams, norm_micro FROM "
+            f"read_parquet('{oracle_path(_GOLDEN_SF, 'lm_perplexity')}') "
+            "WHERE n_bigrams > 0), "
+            "b AS (SELECT CAST(sum(n_bigrams) AS BIGINT) "
+            f"// {_lm.TBM_BUDGET_DEN} AS budget FROM s), "
+            "c AS (SELECT doc_id, n_bigrams, norm_micro, "
+            "CAST(sum(n_bigrams) OVER (ORDER BY norm_micro DESC, doc_id "
+            "ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS BIGINT) AS cum FROM s) "
+            "SELECT c.doc_id, c.norm_micro, c.n_bigrams, "
+            "CAST(CASE WHEN c.cum <= b.budget THEN 1 ELSE 0 END AS BIGINT) "
+            "AS keep FROM c CROSS JOIN b"
         ),
         "doc_fingerprints": (
             "SELECT doc_id, min_window_hash, md5_64 "

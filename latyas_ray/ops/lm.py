@@ -654,3 +654,143 @@ def dsir_resample(sf_dir: str, n_keep: int = DSIR_RESAMPLE_K) -> pd.DataFrame:
         .head(n_keep)
         .reset_index(drop=True)
     )
+
+
+# ------------------------------------------------------ token_budget_mix
+
+TBM_SHIFT = 13          # histogram bucket = norm_micro >> 13 (8192 µnats)
+TBM_BUDGET_DEN = 3      # default budget: a third of the eligible bigrams
+TBM_TIE_CAP = 1_000_000
+
+
+def token_budget_mix(sf_dir: str, budget: Optional[int] = None) -> rd.Dataset:
+    """CCNet's "take the head until the token budget is spent": keep the
+    best-scoring documents (highest ``norm_micro``, doc_id tie-break)
+    while the cumulative bigram count stays within ``budget`` (default:
+    ``Σ n_bigrams // 3`` over eligible docs).  Per eligible doc:
+    (doc_id, norm_micro, n_bigrams, keep).
+
+    A GLOBAL ordered prefix-sum cutoff computed WITHOUT a global sort —
+    the shape Ray Data lacks natively:
+
+    1. score once (map-only under the broadcast model) and materialize
+       the compact (doc_id, n_bigrams, norm_micro) projection;
+    2. histogram pass: per-batch partial sums over ``norm_micro >>
+       TBM_SHIFT`` buckets (arithmetic shift = floor on negatives;
+       bounded key space), one-task merge — the driver walks buckets
+       best-first to find the BOUNDARY bucket;
+    3. refine pass: exact per-norm sums inside the boundary bucket only
+       (≤ 2**TBM_SHIFT distinct values) — the exact threshold t*;
+    4. tie pass: fetch only docs at exactly t* (size-gated; ties at one
+       exact micro-nat are rare), rank by doc_id, place the cut;
+    5. gate pass: map-only ``keep = norm > t* OR (norm == t* AND
+       doc_id ≤ cut)``.
+
+    Docs under 2 tokens have ``n_bigrams == 0`` and ``norm_micro == 0``
+    ("perfect" only by convention), so they are EXCLUDED — the same
+    eligibility rule as ``ccnet_tiers``.  All arithmetic is int64, so
+    the oracle — a window cumulative sum over the independent serial
+    ``lm_perplexity`` snapshot, blind to the bucket machinery — matches
+    bit-for-bit.
+    """
+    model = build_model(sf_dir)
+
+    def compact(df: pd.DataFrame) -> pd.DataFrame:
+        f = df[df["n_bigrams"].to_numpy(dtype=np.int64) > 0]
+        return f[["doc_id", "n_bigrams", "norm_micro"]]
+
+    base = _scored_ds(sf_dir, model).map_batches(
+        compact, batch_format="pandas", batch_size=4096
+    ).materialize()
+
+    def _merge(key):
+        def m(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby(key, as_index=False).sum()
+
+        return m
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"bucket": df["norm_micro"].to_numpy(np.int64) >> TBM_SHIFT,
+             "cost": df["n_bigrams"].to_numpy(np.int64),
+             "n": 1}
+        ).groupby("bucket", as_index=False).sum()
+
+    hist = (
+        base.map_batches(hist_partial, batch_format="pandas",
+                         batch_size=8192)
+        .repartition(1)
+        .map_batches(_merge("bucket"), batch_format="pandas",
+                     batch_size=None)
+        .to_pandas()
+        .sort_values("bucket", ascending=False)
+        .reset_index(drop=True)
+    )
+    total = int(hist["cost"].sum())
+    b = total // TBM_BUDGET_DEN if budget is None else int(budget)
+    cum = hist["cost"].cumsum()
+    over = cum > b
+    if not bool(over.any()):
+        t_norm, cut_id = np.int64(-(2 ** 62)), np.int64(-1)  # all keep
+    else:
+        bi = int(over.idxmax())
+        boundary = int(hist["bucket"].iloc[bi])
+        before = int(cum.iloc[bi - 1]) if bi > 0 else 0
+
+        def refine(df: pd.DataFrame) -> pd.DataFrame:
+            nm = df["norm_micro"].to_numpy(np.int64)
+            f = df[(nm >> TBM_SHIFT) == boundary]
+            return pd.DataFrame(
+                {"norm_micro": f["norm_micro"].to_numpy(np.int64),
+                 "cost": f["n_bigrams"].to_numpy(np.int64),
+                 "n": 1}
+            ).groupby("norm_micro", as_index=False).sum()
+
+        fine = (
+            base.map_batches(refine, batch_format="pandas", batch_size=8192)
+            .repartition(1)
+            .map_batches(_merge("norm_micro"), batch_format="pandas",
+                         batch_size=None)
+            .to_pandas()
+            .sort_values("norm_micro", ascending=False)
+            .reset_index(drop=True)
+        )
+        cum2 = before + fine["cost"].cumsum()
+        fi = int((cum2 > b).idxmax())  # guaranteed: cum2 ends > b
+        t_norm = np.int64(fine["norm_micro"].iloc[fi])
+        before_t = int(cum2.iloc[fi - 1]) if fi > 0 else before
+        if int(fine["n"].iloc[fi]) > TBM_TIE_CAP:
+            raise ValueError(
+                f"token_budget_mix: {int(fine['n'].iloc[fi])} docs tie at "
+                f"norm_micro={int(t_norm)} (cap {TBM_TIE_CAP}); a corpus "
+                "this degenerate needs a finer score, not a bigger driver"
+            )
+
+        def tie_rows(df: pd.DataFrame) -> pd.DataFrame:
+            f = df[df["norm_micro"].to_numpy(np.int64) == t_norm]
+            return f[["doc_id", "n_bigrams"]]
+
+        tdf = (
+            base.map_batches(tie_rows, batch_format="pandas",
+                             batch_size=8192)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        adm = (before_t + tdf["n_bigrams"].cumsum()) <= b
+        cut_id = (
+            np.int64(tdf["doc_id"][adm].iloc[-1]) if bool(adm.any())
+            else np.int64(-1)
+        )
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        nm = df["norm_micro"].to_numpy(np.int64)
+        ids = df["doc_id"].to_numpy(np.int64)
+        keep = (nm > t_norm) | ((nm == t_norm) & (ids <= cut_id))
+        return pd.DataFrame(
+            {"doc_id": ids, "norm_micro": nm,
+             "n_bigrams": df["n_bigrams"].to_numpy(np.int64),
+             "keep": keep.astype(np.int64)}
+        )
+
+    return base.map_batches(gate, batch_format="pandas", batch_size=8192)

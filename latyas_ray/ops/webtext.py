@@ -1628,3 +1628,118 @@ def curation_pipeline(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
         )
 
     return ds.map_batches(gate, batch_format="pandas", batch_size=512)
+
+
+# ------------------------------------------------------- domain_mixture
+
+DOMAIN_MIX_NUM = 1
+DOMAIN_MIX_DEN = 2
+DOMAIN_MIX_PARTS = 64
+
+
+def _isqrt_arr(n: np.ndarray) -> np.ndarray:
+    """Integer square root, as ``floor(sqrt(double(n)))`` — the exact
+    expression the SQL oracle uses.  Exact for n < 2**52: the double
+    representation of n is exact and IEEE sqrt is correctly rounded, so
+    the rounded result can never cross an integer boundary (the true
+    root is at least 1/(2k) away from the next integer k while the ulp
+    near k is ~k·2**-52; property-tested vs math.isqrt)."""
+    return np.floor(np.sqrt(n.astype(np.float64))).astype(np.int64)
+
+
+def domain_mixture(sf_dir: str, target_num: int = DOMAIN_MIX_NUM,
+                   target_den: int = DOMAIN_MIX_DEN,
+                   n_parts: int = DOMAIN_MIX_PARTS) -> rd.Dataset:
+    """Temperature-flattened per-domain sampling plan — the multilingual
+    "alpha sampling" recipe at alpha = 1/2, applied to hosts: big crawl
+    hosts are quota-capped so the kept corpus spreads across domains
+    instead of mirroring the head-heavy host distribution.  Per url:
+    (host, n_host_pages, host_quota, host_rank, keep).
+
+    All arithmetic is INTEGER so the independent SQL oracle is
+    bit-reproducible:
+
+    - ``w_h = isqrt(n_h)`` — the alpha=1/2 host weight (`_isqrt_arr`,
+      exactly DuckDB's ``floor(sqrt(n))``);
+    - ``T = N * target_num // target_den`` — the global keep budget;
+    - ``q_h = min(n_h, T * w_h // W)``, ``W = Σ w_h`` — the host quota
+      (Σ q_h ≤ T by floor subadditivity; int64-safe while T·w < 2**63);
+    - within a host, docs rank by ``(md5_number_lower(url), url)`` — a
+      deterministic hash order, so the kept prefix is an unbiased
+      sample — and keep while ``host_rank ≤ q_h``.
+
+    Scale shape (two linear scans, one keyed exchange):
+
+    - pass 1 reduces per-batch partial host counts to ONE ROW PER PART
+      (Σn, Σ isqrt(n)) under a coarse host-hash key, so the driver sums
+      ``n_parts`` scalar rows — never a host table;
+    - pass 2 shuffles only (url, host, md5) on the SAME host-hash key;
+      a host's docs all land in one part, so exact per-host counts,
+      quotas and ranks come from one vectorized sort inside the part.
+      ``n_parts`` must scale with the corpus so a part fits a worker
+      (64 suits the test scale).
+    """
+    from .export import _md5_lower_arr
+
+    ds = _read_corpus(sf_dir, ["url"])
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        host, _ = _host_section(df["url"])
+        g = pd.DataFrame({"host": host}).groupby("host", as_index=False).size()
+        g.columns = ["host", "n"]
+        g["part"] = (
+            pd.util.hash_array(g["host"].to_numpy(dtype=object)) % n_parts
+        ).astype("int64")
+        return g
+
+    def count_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        n_h = g.groupby("host")["n"].sum().to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"part": [int(g["part"].iloc[0])],
+             "n_sum": [int(n_h.sum())],
+             "w_sum": [int(_isqrt_arr(n_h).sum())]}
+        )
+
+    sums = (
+        ds.map_batches(count_partial, batch_format="pandas", batch_size=8192)
+        .groupby("part")
+        .map_groups(count_reduce, batch_format="pandas")
+        .to_pandas()
+    )
+    n_total = int(sums["n_sum"].sum())
+    w_total = max(1, int(sums["w_sum"].sum()))
+    t_keep = n_total * target_num // target_den
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        host, _ = _host_section(df["url"])
+        urls = df["url"].to_numpy(dtype=object)
+        return pd.DataFrame(
+            {"url": urls,
+             "host": host.to_numpy(dtype=object),
+             "md5n": _md5_lower_arr(urls),
+             "part": (
+                 pd.util.hash_array(host.to_numpy(dtype=object)) % n_parts
+             ).astype("int64")}
+        )
+
+    def rank_gate(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.sort_values(
+            ["host", "md5n", "url"], kind="mergesort"
+        ).reset_index(drop=True)
+        n_h = f.groupby("host")["url"].transform("size").to_numpy(np.int64)
+        quota = np.minimum(n_h, t_keep * _isqrt_arr(n_h) // w_total)
+        rank = f.groupby("host").cumcount().to_numpy(np.int64) + 1
+        return pd.DataFrame(
+            {"url": f["url"],
+             "host": f["host"],
+             "n_host_pages": n_h,
+             "host_quota": quota.astype(np.int64),
+             "host_rank": rank,
+             "keep": (rank <= quota).astype(np.int64)}
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas", batch_size=4096)
+        .groupby("part")
+        .map_groups(rank_gate, batch_format="pandas")
+    )

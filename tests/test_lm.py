@@ -225,3 +225,45 @@ def test_dsir_resample_matches_oracle_and_is_weighted(ray_session):
     assert out["dsir_logw_micro"].mean() > w["dsir_logw_micro"].mean()
     again = lm.dsir_resample(SF)
     pd.testing.assert_frame_equal(out, again)
+
+
+def test_token_budget_mix_matches_greedy_prefix(ray_session):
+    """The distributed histogram/refine/tie cutoff must equal the plain
+    greedy rule: order eligible docs by (norm desc, doc_id asc), keep
+    while the inclusive bigram cumsum stays within total // 3 — computed
+    here straight off the serial lm_perplexity oracle snapshot, blind to
+    the engine's bucket machinery."""
+    snap = _oracle_lm_perplexity(SF).to_pandas()
+    el = (
+        snap[snap["n_bigrams"] > 0]
+        .sort_values(["norm_micro", "doc_id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    budget = int(el["n_bigrams"].sum()) // lm.TBM_BUDGET_DEN
+    el["keep"] = (el["n_bigrams"].cumsum() <= budget).astype("int64")
+    exp = (
+        el[["doc_id", "norm_micro", "n_bigrams", "keep"]]
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    eng = (
+        lm.token_budget_mix(SF).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(eng, exp, check_dtype=False)
+    # the cut is real: something kept, something dropped, and the best
+    # dropped doc would not fit
+    kept_cost = int(eng.loc[eng["keep"] == 1, "n_bigrams"].sum())
+    assert 0 < kept_cost <= budget
+    dropped = el[el["keep"] == 0]
+    assert len(dropped) > 0
+    assert kept_cost + int(dropped["n_bigrams"].iloc[0]) > budget
+
+
+def test_token_budget_mix_explicit_budgets(ray_session):
+    """Degenerate budgets exercise the all-keep and none-keep branches
+    (no boundary bucket / cut before the first tie)."""
+    big = lm.token_budget_mix(SF, budget=2**60).to_pandas()
+    assert (big["keep"] == 1).all()
+    zero = lm.token_budget_mix(SF, budget=0).to_pandas()
+    assert (zero["keep"] == 0).all()
+    assert len(big) == len(zero)

@@ -639,3 +639,82 @@ def test_curation_pipeline_kernel_semantics(ray_session):
     assert s["keep_url"] == 0 and s["keep_dedup"] == 1
     q = out.loc["https://site0.example/news/5"]
     assert q["keep_quality"] == 0 and q["keep_url"] == 1 and q["keep"] == 0
+
+
+def test_domain_mixture_quota_semantics(ray_session):
+    """Alpha=1/2 quota math on a crafted skewed corpus: isqrt weights,
+    global budget, per-host caps, hash-ordered keeps, and invariance to
+    the coarse partition count."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import latyas_ray.ops.webtext as wt
+    from latyas_ray.ops.export import md5_number_lower
+
+    urls = (
+        [f"https://big.example/p/{i}" for i in range(9)]
+        + [f"https://mid.example/p/{i}" for i in range(4)]
+        + ["https://tiny.example/only"]
+    )
+    # n_total=14, weights isqrt: big 3, mid 2, tiny 1 (W=6),
+    # t_keep = 14 * 1 // 2 = 7 -> quotas min(n, 7*w//6): big 3, mid 2,
+    # tiny 1
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(
+            pa.table({"url": urls}), os.path.join(td, "pages-00000.parquet")
+        )
+        base = rd.read_parquet(os.path.join(td, "pages-00000.parquet"))
+        orig = wt._read_corpus
+        wt._read_corpus = lambda sf_dir, columns: base.select_columns(columns)
+        try:
+            out = wt.domain_mixture(td).to_pandas()
+            out4 = wt.domain_mixture(td, n_parts=4).to_pandas()
+        finally:
+            wt._read_corpus = orig
+
+    out = out.sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out, out4.sort_values("url").reset_index(drop=True)
+    )
+    g = out.groupby("host")
+    assert g["host_quota"].first().to_dict() == {
+        "big.example": 3, "mid.example": 2, "tiny.example": 1}
+    assert g["n_host_pages"].first().to_dict() == {
+        "big.example": 9, "mid.example": 4, "tiny.example": 1}
+    assert g["keep"].sum().to_dict() == {
+        "big.example": 3, "mid.example": 2, "tiny.example": 1}
+    # within a host, the kept docs are exactly the quota smallest by
+    # (md5_number_lower(url), url) — an unbiased deterministic sample
+    for host, hg in out.groupby("host"):
+        hg = hg.copy()
+        hg["m"] = [md5_number_lower(u) for u in hg["url"]]
+        hg = hg.sort_values(["m", "url"]).reset_index(drop=True)
+        q = int(hg["host_quota"].iloc[0])
+        assert list(hg["host_rank"]) == list(range(1, len(hg) + 1))
+        assert (hg["keep"].to_numpy()[:q] == 1).all()
+        assert (hg["keep"].to_numpy()[q:] == 0).all()
+    # global budget respected
+    assert int(out["keep"].sum()) <= len(out) * wt.DOMAIN_MIX_NUM // wt.DOMAIN_MIX_DEN
+
+
+def test_isqrt_arr_matches_math_isqrt():
+    """floor(sqrt(double(n))) is exact for the int64 host-count range we
+    use — property-check vs math.isqrt incl. perfect-square boundaries."""
+    import math
+
+    import numpy as np
+
+    import latyas_ray.ops.webtext as wt
+
+    ns = [0, 1, 2, 3, 4, 8, 9, 15, 16, 10**6, 10**6 + 1, 2**40, 2**40 + 1]
+    ns += [k * k for k in range(1, 2000, 37)]
+    ns += [k * k - 1 for k in range(2, 2000, 41)]
+    arr = np.array(ns, dtype=np.int64)
+    got = wt._isqrt_arr(arr)
+    exp = np.array([math.isqrt(int(n)) for n in ns], dtype=np.int64)
+    assert (got == exp).all()
