@@ -215,6 +215,8 @@ def run_bench() -> dict:
     op_fns["ccnet_tiers"] = _lm.ccnet_tiers
     op_fns["dsir_weights"] = _lm.dsir_weights
     op_fns["dsir_resample"] = _lm.dsir_resample
+    op_fns["token_budget_mix"] = _lm.token_budget_mix
+    op_fns["domain_mixture"] = webtext.domain_mixture
     if skip_queries:
         op_fns = {}
     for name, fn in op_fns.items():
