@@ -253,6 +253,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # whose coarse-hash-shuffle dedup shape is embedded in in-window
         # minhash_dedup's exact-collapse stage)
         "outlink_stats": _webtext.outlink_stats,
+        # round-4 iterative centrality over the host link graph
+        # (in-window: never driver-verified; displaces 2-round-green
+        # orders_by_nation — the broadcast-join shape stays in-window
+        # via attribution_asof and the rule-table joins inside
+        # curation_pipeline)
+        "host_pagerank": _webtext.host_pagerank,
         # round-4 stage-1 URL gate (in-window: never driver-verified; it
         # displaces 2-round-green embedding_neardup — the documented-weak
         # full-broadcast baseline whose scale path, in-window
@@ -307,8 +313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _events.sessionize,
         "attribution_asof": _events.attribution_asof,
         "events_nearby_counts": _events.events_nearby_counts,
-        # relational patterns (partial agg, broadcast join)
-        "orders_by_nation": _relational.orders_by_nation,
+        # relational patterns (partial agg; the broadcast-join sibling
+        # orders_by_nation rotated to the tail for host_pagerank)
         "parts_by_brand": _relational.parts_by_brand,
         # entry #50 — the round-4 addition takes the window's last slot
         "texmix_markdown": _q_texmix_markdown,
@@ -330,6 +336,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-verified via in-window dsir_weights, and pytest runs
         # the full serial-oracle parity at the driver's own sf
         "dsir_resample": _oracled("dsir_resample", _lm.dsir_resample),
+        # rotated out for host_pagerank (2× green; broadcast-join shape
+        # covered in-window — see the displacement note at host_pagerank)
+        "orders_by_nation": _relational.orders_by_nation,
         # rotated out for the round-4 mixture ops (token_counts 3×
         # green, quality_filter 2× green; shapes covered in-window —
         # see the displacement notes at their replacements)
@@ -655,6 +664,60 @@ def _outlink_stats_sql() -> str:
         "coalesce(n_distinct_hrefs, 0) AS n_distinct_hrefs "
         "FROM pg LEFT JOIN la USING (host)"
     )
+
+
+def _host_pagerank_sql() -> str:
+    """Independent recompute of ``host_pagerank``: the same decode/href
+    edge construction as the outlink oracle, then the fixed-iteration
+    integer recurrence as a GENERATED chain of join/group CTEs — plain
+    window-free SQL, blind to the engine's sharded-rank-blob machinery.
+    Every constant is imported from the op's module (one home)."""
+    from latyas_ray.ops.webtext import (
+        OUTLINK_HREF_RE,
+        PAGERANK_DAMP_DEN,
+        PAGERANK_DAMP_NUM,
+        PAGERANK_ITERS,
+        PAGERANK_SCALE,
+        PAGERANK_TELEPORT,
+    )
+
+    href = OUTLINK_HREF_RE.replace("'", "''")
+    th = "split_part(split_part(href, '://', 2), '/', 1)"
+    sql = (
+        "WITH d AS (SELECT url, CASE WHEN substr(hex(html), 1, 8) = "
+        "'25504446' THEN NULL ELSE decode(html) END AS h "
+        f"FROM read_parquet('{_webtext.corpus_glob(_GOLDEN_SF)}')), "
+        "p AS (SELECT split_part(split_part(url, '://', 2), '/', 1) "
+        "AS host, h FROM d), "
+        "hosts AS (SELECT DISTINCT host FROM p), "
+        "l AS (SELECT host AS src, unnest(regexp_extract_all(h, "
+        f"'{href}', 1)) AS href FROM p WHERE h IS NOT NULL), "
+        f"e AS (SELECT DISTINCT src, {th} AS dst FROM l "
+        "WHERE (href LIKE 'http://%' OR href LIKE 'https://%') "
+        f"AND {th} <> src "
+        f"AND {th} IN (SELECT host FROM hosts)), "
+        "od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e "
+        "GROUP BY src), "
+        f"r0 AS (SELECT host, CAST({PAGERANK_SCALE} AS BIGINT) AS r "
+        "FROM hosts)"
+    )
+    for k in range(1, PAGERANK_ITERS + 1):
+        sql += (
+            f", r{k} AS (SELECT hs.host, CAST({PAGERANK_TELEPORT} + "
+            "coalesce(c.s, 0) AS BIGINT) AS r FROM hosts hs LEFT JOIN ("
+            f"SELECT e.dst AS host, sum((r.r * {PAGERANK_DAMP_NUM} "
+            f"// {PAGERANK_DAMP_DEN}) // od.outdeg) AS s "
+            f"FROM e JOIN r{k - 1} r ON r.host = e.src "
+            "JOIN od ON od.src = e.src GROUP BY e.dst) c "
+            "ON c.host = hs.host)"
+        )
+    sql += (
+        " SELECT hs.host, coalesce(od.outdeg, 0) AS n_out_hosts, "
+        f"rf.r AS rank_micro FROM hosts hs "
+        f"JOIN r{PAGERANK_ITERS} rf ON rf.host = hs.host "
+        "LEFT JOIN od ON od.src = hs.host"
+    )
+    return sql
 
 
 def _url_filter_sql() -> str:
@@ -1137,6 +1200,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_removal": _dup_span_removal_sql(),
         "url_filter": _url_filter_sql(),
         "outlink_stats": _outlink_stats_sql(),
+        "host_pagerank": _host_pagerank_sql(),
         # training-export ops: md5_number_lower(url) is the pinned
         # shard/partition identity (≡ int.from_bytes(md5[8:], 'little'),
         # tests/test_export.py); checksum is the order-independent

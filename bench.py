@@ -203,6 +203,7 @@ def run_bench() -> dict:
     op_fns["dup_span_removal"] = webtext.dup_span_removal
     op_fns["url_filter"] = webtext.url_filter
     op_fns["outlink_stats"] = webtext.outlink_stats
+    op_fns["host_pagerank"] = webtext.host_pagerank
     op_fns["curation_pipeline"] = webtext.curation_pipeline
     op_fns["quality_funnel"] = webtext.quality_funnel
     from latyas_ray.ops import export as _export

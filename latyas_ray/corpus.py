@@ -33,7 +33,7 @@ import pyarrow.parquet as pq
 from .extract import extract_one
 from .pdf_extract import PDF_MAGIC
 
-CORPUS_VERSION = "latyas-corpus/7"  # /2: pdf_real family (genuine PDF
+CORPUS_VERSION = "latyas-corpus/8"  # /2: pdf_real family (genuine PDF
 # bytes); /3: HTML breadth — rowspan/colspan tables, <dl>, <pre>,
 # entity-heavy boilerplate pages; /4: deterministic PII (contact line
 # with email / ipv4 / phone on every third site) so the webtext
@@ -50,7 +50,12 @@ CORPUS_VERSION = "latyas-corpus/7"  # /2: pdf_real family (genuine PDF
 # CONTAIN a literal 0x1F, engineered so the two sites' DIFFERENT token
 # sequences join to the SAME string under a chr(31) separator ("q\x1fr
 # s" vs "q r\x1fs") — the collision the length-prefixed span_key
-# identity must not merge (ops/webtext.py)
+# identity must not merge (ops/webtext.py); /8: cross-site footer
+# blogroll — site k's html pages carry k%4 absolute links to sites
+# (7k+13+29j)%97, a varied-degree affine host graph, so outlink_stats'
+# external-link column and host_pagerank's centrality are informative
+# (inside <footer>, which the extractor drops by tag, so the links
+# never reach the text channel)
 EPOCH_2024_US = 1704067200 * 1_000_000  # 2024-01-01T00:00:00Z in microseconds
 
 PAGES_SCHEMA = pa.schema(
@@ -154,8 +159,24 @@ def _header(site: int) -> str:
     return f"<header>Site {site} — all the latest</header>"
 
 
+def _blogroll(site: int) -> str:
+    """corpus /8: site k's pages link to sites (7k+13+29j)%97 for
+    j < k%4 — absolute cross-host links with varied out-degree (k≡0
+    mod 4 hosts stay dangling) and, because 7 is invertible mod 97,
+    varied in-degree too.  Self-targets are left in: they exercise the
+    target≠src rule in the outlink/pagerank edge builders."""
+    return "".join(
+        f'<a href="https://site{(site * 7 + 13 + 29 * j) % 97}.example/">'
+        f"partner {j}</a> "
+        for j in range(site % 4)
+    )
+
+
 def _footer(site: int) -> str:
-    return f"<footer>© 2024 site{site}.example · Terms · Privacy</footer>"
+    return (
+        f"<footer>© 2024 site{site}.example · Terms · Privacy "
+        f"{_blogroll(site)}</footer>"
+    )
 
 
 def _contact(site: int) -> str:

@@ -553,6 +553,302 @@ def outlink_stats(sf_dir: str) -> rd.Dataset:
     )
 
 
+# -------------------------------------------------------- host_pagerank
+
+# Integer-exact PageRank over the host link graph (the centrality gate
+# `outlink_stats` is the precursor for).  All constants are shared with
+# the generated SQL oracle — one home, no drift.
+PAGERANK_ITERS = 5
+PAGERANK_DAMP_NUM = 85          # damping 0.85 as a ratio
+PAGERANK_DAMP_DEN = 100
+PAGERANK_SCALE = 1_000_000      # rank unit: micro-rank
+PAGERANK_PARTS = 64
+# teleport mass per node and iteration (150_000 at the defaults)
+PAGERANK_TELEPORT = (
+    PAGERANK_SCALE * (PAGERANK_DAMP_DEN - PAGERANK_DAMP_NUM)
+    // PAGERANK_DAMP_DEN
+)
+
+
+def host_pagerank(sf_dir: str, iters: int = PAGERANK_ITERS,
+                  n_parts: int = PAGERANK_PARTS) -> rd.Dataset:
+    """Fixed-iteration PageRank over hosts: nodes are every host in the
+    corpus, edges the DISTINCT (src_host, dst_host) pairs where a page
+    on src links externally (scheme-absolute, target ≠ src) to a target
+    host that is itself a corpus node.  Per host: (host, n_out_hosts,
+    rank_micro).
+
+    Pinned integer semantics (bit-reproducible, so the independent SQL
+    oracle — a generated chain of join/group CTEs — matches exactly):
+    ``rank_0 = SCALE`` for every node; per iteration every node v gets
+    ``rank(v) = TELEPORT + Σ_{(u,v)∈E} (rank(u) * DAMP_NUM // DAMP_DEN)
+    // outdeg(u)`` with int64 floor division at both steps.  Dangling
+    hosts (no qualifying out-edges) contribute nothing — their damped
+    mass is dropped, not redistributed (documented divergence from the
+    textbook dangling-mass fix; it keeps every sum associative int64).
+
+    Scale shape — an iterative algorithm Ray Data has no native form
+    for, built from the module's own primitives:
+
+    - node and edge construction are the ``outlink_stats`` shape: one
+      pruned (url, html) scan, per-batch distinct partials, ONE coarse
+      md5-hash exchange each; edges land partitioned by src so outdeg
+      is an in-part C groupby (distinct (src, dst) is crawl-sized —
+      never a single task, never the driver);
+    - dst-membership (target must be a corpus host) and the per-
+      iteration rank table both travel as sharded sorted-uint64 blobs
+      (`_shard_refs`): the driver holds one O(#hosts/n_parts) slice at
+      a time and map tasks ``searchsorted`` only the slices their
+      batch touches (`_sharded_isin` / `_sorted_lookup`);
+    - each iteration is one map over the static edge set emitting
+      per-batch partial contribution sums keyed by the dst's md5 part,
+      then one coarse exchange merging TELEPORT + Σ per node.
+
+    Host identity inside the exchange is ``md5_number_lower(host)`` —
+    the same 64-bit-hash identity the keeper election and span scrub
+    already rely on (collision odds ~n²/2⁶⁵).
+    """
+    from .export import _md5_lower_arr
+
+    ds = _read_corpus(sf_dir, ["url", "html"])
+    # the node pass never touches html — prune to the url column so
+    # pass A reads a few bytes per row, not the payload channel
+    ds_urls = _read_corpus(sf_dir, ["url"])
+
+    # ---- pass A: nodes (host, hm, part), one row per distinct host
+    def node_partial(df: pd.DataFrame) -> pd.DataFrame:
+        host, _ = _host_section(df["url"])
+        u = pd.unique(host.to_numpy(dtype=object))
+        hm = _md5_lower_arr(u)
+        return pd.DataFrame(
+            {"host": u, "hm": hm,
+             "part": (hm % n_parts).astype(np.int64)}
+        )
+
+    def node_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.drop_duplicates("host").sort_values("hm")
+        return f.reset_index(drop=True)
+
+    nodes = (
+        ds_urls.map_batches(
+            node_partial, batch_format="pandas", batch_size=2048
+        )
+        .groupby("part")
+        .map_groups(node_reduce, batch_format="pandas")
+        .materialize()
+    )
+
+    def pack_nodes(g: pd.DataFrame) -> pd.DataFrame:
+        hm = np.sort(g["hm"].to_numpy(dtype=np.uint64))
+        return pd.DataFrame(
+            {"part": [int(g["part"].iloc[0])], "hm": [hm.tobytes()]}
+        )
+
+    node_refs = _shard_refs(
+        nodes.groupby("part").map_groups(pack_nodes, batch_format="pandas"),
+        n_parts,
+        lambda row: np.frombuffer(row["hm"], dtype=np.uint64),
+    )
+
+    # ---- pass B: distinct qualifying edges, partitioned by src
+    def edge_partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"src": pd.Series(dtype=object), "dst": pd.Series(dtype=object),
+             "part": pd.Series(dtype="int64")}
+        )
+        urls = df["url"].reset_index(drop=True)
+        host, _ = _host_section(urls)
+        texts = []
+        for h in df["html"]:
+            if h is None or bytes(h[:4]) == b"%PDF":
+                texts.append(None)
+            else:
+                texts.append(bytes(h).decode("utf-8", errors="replace"))
+        hrefs = [
+            _OUTLINK_PAT.findall(t) if t is not None else [] for t in texts
+        ]
+        lens = np.fromiter((len(x) for x in hrefs), dtype=np.int64,
+                           count=len(hrefs))
+        if lens.sum() == 0:
+            return empty
+        flat = pd.Series([h for row in hrefs for h in row], dtype=object)
+        src = host.to_numpy()[np.repeat(np.arange(len(hrefs)), lens)]
+        dst, _ = _host_section(flat)
+        dst = dst.to_numpy(dtype=object)
+        ext = (
+            flat.str.startswith(("http://", "https://")).to_numpy()
+            & (dst != src)
+        )
+        if not ext.any():
+            return empty
+        e = pd.DataFrame(
+            {"src": src[ext], "dst": dst[ext]}
+        ).drop_duplicates()
+        dm = _md5_lower_arr(e["dst"].to_numpy(dtype=object))
+        keep = _sharded_isin(dm, (dm % n_parts).astype(np.int64), node_refs)
+        e = e[keep].copy()
+        if not len(e):
+            return empty
+        sm = _md5_lower_arr(e["src"].to_numpy(dtype=object))
+        e["part"] = (sm % n_parts).astype(np.int64)
+        return e.reset_index(drop=True)
+
+    def edge_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        e = g.drop_duplicates(["src", "dst"]).reset_index(drop=True)
+        sm = _md5_lower_arr(e["src"].to_numpy(dtype=object))
+        dm = _md5_lower_arr(e["dst"].to_numpy(dtype=object))
+        outdeg = (
+            pd.Series(sm).groupby(sm).transform("size").to_numpy(np.int64)
+        )
+        return pd.DataFrame(
+            {"part": np.full(len(e), int(g["part"].iloc[0]), dtype=np.int64),
+             "sm": sm, "dm": dm, "outdeg": outdeg,
+             "dst_part": (dm % n_parts).astype(np.int64)}
+        )
+
+    edges = (
+        ds.map_batches(edge_partial, batch_format="pandas", batch_size=2048)
+        .groupby("part")
+        .map_groups(edge_reduce, batch_format="pandas")
+        .materialize()
+    )
+
+    # ---- outdeg rows for the final report (one row per linking host)
+    def outdeg_rows(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.drop_duplicates("sm")
+        return pd.DataFrame(
+            {"part": f["part"].to_numpy(np.int64),
+             "hm": f["sm"].to_numpy(np.uint64),
+             "outdeg": f["outdeg"].to_numpy(np.int64)}
+        )
+
+    # ---- iterate: ranks start at SCALE for every node
+    ranks = nodes.map_batches(
+        lambda df: df.assign(rank_micro=np.int64(PAGERANK_SCALE)),
+        batch_format="pandas", batch_size=None,
+    ).materialize()
+
+    def pack_ranks(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.sort_values("hm")
+        return pd.DataFrame(
+            {"part": [int(f["part"].iloc[0])],
+             "hm": [f["hm"].to_numpy(np.uint64).tobytes()],
+             "r": [f["rank_micro"].to_numpy(np.int64).tobytes()]}
+        )
+
+    def unpack_ranks(row):
+        return (np.frombuffer(row["hm"], dtype=np.uint64),
+                np.frombuffer(row["r"], dtype=np.int64))
+
+    for _ in range(iters):
+        rank_refs = _shard_refs(
+            ranks.groupby("part").map_groups(
+                pack_ranks, batch_format="pandas"
+            ),
+            n_parts, unpack_ranks,
+        )
+
+        def contrib(df: pd.DataFrame, refs=rank_refs) -> pd.DataFrame:
+            import ray as _ray
+
+            sm = df["sm"].to_numpy(np.uint64)
+            r = np.zeros(len(df), dtype=np.int64)
+            parts = df["part"].to_numpy(np.int64)
+            for p in np.unique(parts):
+                ref = refs[int(p)]
+                if ref is None:
+                    continue
+                sel = parts == p
+                keys, vals = _ray.get(ref)
+                r[sel] = _sorted_lookup(keys, vals, sm[sel])
+            share = (
+                r * PAGERANK_DAMP_NUM // PAGERANK_DAMP_DEN
+            ) // df["outdeg"].to_numpy(np.int64)
+            return (
+                pd.DataFrame(
+                    {"part": df["dst_part"].to_numpy(np.int64),
+                     "hm": df["dm"].to_numpy(np.uint64), "s": share}
+                )
+                .groupby(["part", "hm"], as_index=False)
+                .sum()
+            )
+
+        def apply_rank(g: pd.DataFrame) -> pd.DataFrame:
+            n = g[g["tag"] == 0]
+            c = (
+                g[g["tag"] == 1]
+                .groupby("hm", as_index=False)["s"].sum()
+            )
+            s = _sorted_lookup(
+                c["hm"].to_numpy(np.uint64),
+                c["s"].to_numpy(np.int64),
+                n["hm"].to_numpy(np.uint64),
+            ) if len(c) else np.zeros(len(n), dtype=np.int64)
+            return pd.DataFrame(
+                {"host": n["host"].to_numpy(dtype=object),
+                 "hm": n["hm"].to_numpy(np.uint64),
+                 "part": n["part"].to_numpy(np.int64),
+                 "rank_micro": PAGERANK_TELEPORT + s}
+            )
+
+        node_rows = nodes.map_batches(
+            lambda df: df.assign(tag=np.int64(0), s=np.int64(0)),
+            batch_format="pandas", batch_size=None,
+        )
+        contrib_rows = edges.map_batches(
+            contrib, batch_format="pandas", batch_size=4096
+        ).map_batches(
+            lambda df: df.assign(
+                host="", tag=np.int64(1)
+            )[["host", "hm", "part", "tag", "s"]],
+            batch_format="pandas", batch_size=None,
+        )
+        ranks = (
+            node_rows.select_columns(["host", "hm", "part", "tag", "s"])
+            .union(contrib_rows)
+            .groupby("part")
+            .map_groups(apply_rank, batch_format="pandas")
+            .materialize()
+        )
+
+    # ---- final report: attach n_out_hosts (0 for dangling hosts)
+    def final_rows(g: pd.DataFrame) -> pd.DataFrame:
+        n = g[g["tag"] == 0]
+        o = g[g["tag"] == 1].sort_values("hm")
+        deg = _sorted_lookup(
+            o["hm"].to_numpy(np.uint64),
+            o["outdeg"].to_numpy(np.int64),
+            n["hm"].to_numpy(np.uint64),
+        ) if len(o) else np.zeros(len(n), dtype=np.int64)
+        return pd.DataFrame(
+            {"host": n["host"].to_numpy(dtype=object),
+             "n_out_hosts": deg,
+             "rank_micro": n["rank_micro"].to_numpy(np.int64)}
+        )
+
+    rank_rows = ranks.map_batches(
+        lambda df: df.assign(tag=np.int64(0), outdeg=np.int64(0))[
+            ["host", "hm", "part", "tag", "outdeg", "rank_micro"]
+        ],
+        batch_format="pandas", batch_size=None,
+    )
+    deg_rows = (
+        edges.groupby("part")
+        .map_groups(outdeg_rows, batch_format="pandas")
+        .map_batches(
+            lambda df: df.assign(
+                host="", tag=np.int64(1), rank_micro=np.int64(0)
+            )[["host", "hm", "part", "tag", "outdeg", "rank_micro"]],
+            batch_format="pandas", batch_size=None,
+        )
+    )
+    return (
+        rank_rows.union(deg_rows)
+        .groupby("part")
+        .map_groups(final_rows, batch_format="pandas")
+    )
+
+
 # -------------------------------------------------------- gopher_quality
 
 # Gopher rule constants (Rae et al. 2021, table A1) — pinned once, shared

@@ -98,7 +98,7 @@ OPS_QUERIES = [
     "shard_export", "pack_sequences", "lm_perplexity", "ccnet_tiers",
     "dup_span_removal", "url_filter", "dsir_weights", "outlink_stats",
     "curation_pipeline", "contamination_scrub", "dsir_resample",
-    "token_budget_mix", "domain_mixture",
+    "token_budget_mix", "domain_mixture", "host_pagerank",
 ]
 
 

@@ -718,3 +718,83 @@ def test_isqrt_arr_matches_math_isqrt():
     got = wt._isqrt_arr(arr)
     exp = np.array([math.isqrt(int(n)) for n in ns], dtype=np.int64)
     assert (got == exp).all()
+
+
+def test_host_pagerank_matches_reference_loop(ray_session):
+    """Engine vs an independent dict-and-loop PageRank on a crafted
+    graph covering every edge rule: duplicate hrefs collapse to one
+    edge, relative and same-host links are not edges, links to
+    non-corpus hosts are dropped, PDF payloads carry no links, dangling
+    and isolated hosts keep teleport-only mass."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import latyas_ray.ops.webtext as wt
+
+    rows = [
+        ("https://a.example/1",
+         '<a href="https://b.example/x">l</a>'
+         '<a href="https://c.example/y">m</a>'
+         '<a href="https://offsite.example/z">drop-nonnode</a>'
+         '<a href="https://a.example/self">drop-samehost</a>'
+         '<a href="/rel">drop-relative</a>'),
+        ("https://a.example/2", '<a href="https://b.example/x2">dup-edge</a>'),
+        ("https://b.example/1", '<a href="https://a.example/home">back</a>'),
+        ("https://c.example/1", "dangling: no links"),
+        ("https://d.example/1", None),  # PDF payload -> isolated host
+    ]
+    urls = [r[0] for r in rows]
+    htmls = [(r[1].encode() if r[1] else b"%PDF-1.4 fake") for r in rows]
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(
+            pa.table({"url": urls, "html": htmls}),
+            os.path.join(td, "pages-00000.parquet"),
+        )
+        base = rd.read_parquet(os.path.join(td, "pages-00000.parquet"))
+        orig = wt._read_corpus
+        wt._read_corpus = lambda sf_dir, columns: base.select_columns(columns)
+        try:
+            out = (
+                wt.host_pagerank(td).to_pandas()
+                .sort_values("host").reset_index(drop=True)
+            )
+            out8 = (
+                wt.host_pagerank(td, n_parts=8).to_pandas()
+                .sort_values("host").reset_index(drop=True)
+            )
+        finally:
+            wt._read_corpus = orig
+
+    # independent reference: plain dicts, no hashing, no partitioning
+    nodes = ["a.example", "b.example", "c.example", "d.example"]
+    edges = {("a.example", "b.example"), ("a.example", "c.example"),
+             ("b.example", "a.example")}
+    outdeg: dict = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {n: wt.PAGERANK_SCALE for n in nodes}
+    for _ in range(wt.PAGERANK_ITERS):
+        nr = {n: wt.PAGERANK_TELEPORT for n in nodes}
+        for s, d in edges:
+            nr[d] += (
+                r[s] * wt.PAGERANK_DAMP_NUM // wt.PAGERANK_DAMP_DEN
+            ) // outdeg[s]
+        r = nr
+    exp = pd.DataFrame(
+        {"host": nodes,
+         "n_out_hosts": [outdeg.get(n, 0) for n in nodes],
+         "rank_micro": [r[n] for n in nodes]}
+    )
+    got = out.astype({"n_out_hosts": "int64", "rank_micro": "int64"})
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # partition-count invariance
+    pd.testing.assert_frame_equal(out, out8)
+    # mass sanity: dangling/isolated hosts sit at pure teleport
+    assert int(got.set_index("host").loc["d.example", "rank_micro"]) == (
+        wt.PAGERANK_TELEPORT
+    )
