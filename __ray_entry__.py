@@ -309,10 +309,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": _oracled("embedding_kmeans", _similarity.embedding_kmeans),
         # stream-shaped ops over events (the two custom-join shapes Ray
         # Data lacks natively stay in-window; the plain tumbling/rollup
-        # rows rotate to the tail)
-        "sessionize": _events.sessionize,
+        # rows rotate to the tail; sessionize — 2× green, its
+        # coarse-hash + per-partition sort/diff shape embedded in
+        # attribution_asof — rotates out for dsir_resample)
         "attribution_asof": _events.attribution_asof,
         "events_nearby_counts": _events.events_nearby_counts,
+        # dsir_resample completes the DSIR recipe (Gumbel-top-k
+        # importance resampling over in-window dsir_weights); in-window:
+        # never driver-verified — displaces 2×-green sessionize
+        "dsir_resample": _oracled("dsir_resample", _lm.dsir_resample),
         # relational patterns (partial agg; the broadcast-join sibling
         # orders_by_nation rotated to the tail for host_pagerank)
         "parts_by_brand": _relational.parts_by_brand,
@@ -330,12 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup_exact's coarse-hash dedup ≡ minhash_dedup's
         # exact-collapse stage, lineitem partial-agg ≡
         # doc_stats_by_lang/domain_stats) ----
-        # dsir_resample completes the DSIR recipe (Gumbel-top-k
-        # importance resampling over dsir_weights); tail — no in-window
-        # slot is honestly free this round, its weights stage is
-        # driver-verified via in-window dsir_weights, and pytest runs
-        # the full serial-oracle parity at the driver's own sf
-        "dsir_resample": _oracled("dsir_resample", _lm.dsir_resample),
+        "sessionize": _events.sessionize,
         # rotated out for host_pagerank (2× green; broadcast-join shape
         # covered in-window — see the displacement note at host_pagerank)
         "orders_by_nation": _relational.orders_by_nation,
