@@ -259,6 +259,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # via attribution_asof and the rule-table joins inside
         # curation_pipeline)
         "host_pagerank": _webtext.host_pagerank,
+        # two-hop reach + reciprocity over the same host graph — the
+        # module's one distributed hash self-join (in-window: new this
+        # round, never driver-verified; displaces 2×-green
+        # contamination_check, whose broadcast-shingle shape is a strict
+        # subset of in-window contamination_scrub)
+        "host_two_hop": _webtext.host_two_hop,
         # round-4 stage-1 URL gate (in-window: never driver-verified; it
         # displaces 2-round-green embedding_neardup — the documented-weak
         # full-broadcast baseline whose scale path, in-window
@@ -295,7 +301,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # banded-LSH path under test) — so it depends on that snapshot.
         "simhash_neardup": _oracled("simhash_fingerprints", _dedup.simhash_neardup),
         "ngram_jaccard": _dedup.ngram_jaccard,
-        "contamination_check": _dedup.contamination_check,
         # round-4 decontamination removal (in-window: never
         # driver-verified; displaces 3-round-green events_window_counts,
         # whose tumbling bucket-count is embedded in in-window
@@ -336,6 +341,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-collapse stage, lineitem partial-agg ≡
         # doc_stats_by_lang/domain_stats) ----
         "sessionize": _events.sessionize,
+        # rotated out for host_two_hop (2× green; its broadcast-shingle
+        # shape is a strict subset of in-window contamination_scrub)
+        "contamination_check": _dedup.contamination_check,
         # rotated out for host_pagerank (2× green; broadcast-join shape
         # covered in-window — see the displacement note at host_pagerank)
         "orders_by_nation": _relational.orders_by_nation,
@@ -666,24 +674,18 @@ def _outlink_stats_sql() -> str:
     )
 
 
-def _host_pagerank_sql() -> str:
-    """Independent recompute of ``host_pagerank``: the same decode/href
-    edge construction as the outlink oracle, then the fixed-iteration
-    integer recurrence as a GENERATED chain of join/group CTEs — plain
-    window-free SQL, blind to the engine's sharded-rank-blob machinery.
-    Every constant is imported from the op's module (one home)."""
-    from latyas_ray.ops.webtext import (
-        OUTLINK_HREF_RE,
-        PAGERANK_DAMP_DEN,
-        PAGERANK_DAMP_NUM,
-        PAGERANK_ITERS,
-        PAGERANK_SCALE,
-        PAGERANK_TELEPORT,
-    )
+def _host_edges_ctes() -> str:
+    """The shared host-graph edge construction — decode the html
+    channel (PDF rows masked by the %PDF hex magic), extract hrefs with
+    the op's own pattern, keep scheme-absolute external links whose
+    target is a corpus host, distinct (src, dst) — as a WITH prefix
+    ending at the ``e`` (edges) and ``od`` (outdegree) CTEs.  One home
+    for `_host_pagerank_sql` and the `host_two_hop` oracle."""
+    from latyas_ray.ops.webtext import OUTLINK_HREF_RE
 
     href = OUTLINK_HREF_RE.replace("'", "''")
     th = "split_part(split_part(href, '://', 2), '/', 1)"
-    sql = (
+    return (
         "WITH d AS (SELECT url, CASE WHEN substr(hex(html), 1, 8) = "
         "'25504446' THEN NULL ELSE decode(html) END AS h "
         f"FROM read_parquet('{_webtext.corpus_glob(_GOLDEN_SF)}')), "
@@ -697,8 +699,27 @@ def _host_pagerank_sql() -> str:
         f"AND {th} <> src "
         f"AND {th} IN (SELECT host FROM hosts)), "
         "od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e "
-        "GROUP BY src), "
-        f"r0 AS (SELECT host, CAST({PAGERANK_SCALE} AS BIGINT) AS r "
+        "GROUP BY src)"
+    )
+
+
+def _host_pagerank_sql() -> str:
+    """Independent recompute of ``host_pagerank``: the same decode/href
+    edge construction as the outlink oracle, then the fixed-iteration
+    integer recurrence as a GENERATED chain of join/group CTEs — plain
+    window-free SQL, blind to the engine's sharded-rank-blob machinery.
+    Every constant is imported from the op's module (one home)."""
+    from latyas_ray.ops.webtext import (
+        PAGERANK_DAMP_DEN,
+        PAGERANK_DAMP_NUM,
+        PAGERANK_ITERS,
+        PAGERANK_SCALE,
+        PAGERANK_TELEPORT,
+    )
+
+    sql = (
+        _host_edges_ctes()
+        + f", r0 AS (SELECT host, CAST({PAGERANK_SCALE} AS BIGINT) AS r "
         "FROM hosts)"
     )
     for k in range(1, PAGERANK_ITERS + 1):
@@ -718,6 +739,28 @@ def _host_pagerank_sql() -> str:
         "LEFT JOIN od ON od.src = hs.host"
     )
     return sql
+
+
+def _host_two_hop_sql() -> str:
+    """Independent recompute of ``host_two_hop``: the shared edge CTEs,
+    then plain self-joins — distinct two-hop targets via e1.dst =
+    e2.src, reciprocal partners via the reversed-pair join — blind to
+    the engine's co-partitioned merge and tagged-union rollup."""
+    return (
+        _host_edges_ctes()
+        + ", two AS (SELECT e1.src AS host, "
+        "CAST(count(DISTINCT e2.dst) AS BIGINT) AS n_two_hop "
+        "FROM e e1 JOIN e e2 ON e2.src = e1.dst GROUP BY e1.src), "
+        "rec AS (SELECT e1.src AS host, "
+        "CAST(count(*) AS BIGINT) AS n_reciprocal "
+        "FROM e e1 JOIN e e2 ON e2.src = e1.dst AND e2.dst = e1.src "
+        "GROUP BY e1.src) "
+        "SELECT od.src AS host, od.outdeg AS n_out_hosts, "
+        "coalesce(two.n_two_hop, 0) AS n_two_hop, "
+        "coalesce(rec.n_reciprocal, 0) AS n_reciprocal "
+        "FROM od LEFT JOIN two ON two.host = od.src "
+        "LEFT JOIN rec ON rec.host = od.src"
+    )
 
 
 def _url_filter_sql() -> str:
@@ -1201,6 +1244,7 @@ def oracle_sql() -> dict[str, str]:
         "url_filter": _url_filter_sql(),
         "outlink_stats": _outlink_stats_sql(),
         "host_pagerank": _host_pagerank_sql(),
+        "host_two_hop": _host_two_hop_sql(),
         # training-export ops: md5_number_lower(url) is the pinned
         # shard/partition identity (≡ int.from_bytes(md5[8:], 'little'),
         # tests/test_export.py); checksum is the order-independent

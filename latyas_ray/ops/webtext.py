@@ -570,52 +570,16 @@ PAGERANK_TELEPORT = (
 )
 
 
-def host_pagerank(sf_dir: str, iters: int = PAGERANK_ITERS,
-                  n_parts: int = PAGERANK_PARTS) -> rd.Dataset:
-    """Fixed-iteration PageRank over hosts: nodes are every host in the
-    corpus, edges the DISTINCT (src_host, dst_host) pairs where a page
-    on src links externally (scheme-absolute, target ≠ src) to a target
-    host that is itself a corpus node.  Per host: (host, n_out_hosts,
-    rank_micro).
-
-    Pinned integer semantics (bit-reproducible, so the independent SQL
-    oracle — a generated chain of join/group CTEs — matches exactly):
-    ``rank_0 = SCALE`` for every node; per iteration every node v gets
-    ``rank(v) = TELEPORT + Σ_{(u,v)∈E} (rank(u) * DAMP_NUM // DAMP_DEN)
-    // outdeg(u)`` with int64 floor division at both steps.  Dangling
-    hosts (no qualifying out-edges) contribute nothing — their damped
-    mass is dropped, not redistributed (documented divergence from the
-    textbook dangling-mass fix; it keeps every sum associative int64).
-
-    Scale shape — an iterative algorithm Ray Data has no native form
-    for, built from the module's own primitives:
-
-    - node and edge construction are the ``outlink_stats`` shape: one
-      pruned (url, html) scan, per-batch distinct partials, ONE coarse
-      md5-hash exchange each; edges land partitioned by src so outdeg
-      is an in-part C groupby (distinct (src, dst) is crawl-sized —
-      never a single task, never the driver);
-    - dst-membership (target must be a corpus host) and the per-
-      iteration rank table both travel as sharded sorted-uint64 blobs
-      (`_shard_refs`): the driver holds one O(#hosts/n_parts) slice at
-      a time and map tasks ``searchsorted`` only the slices their
-      batch touches (`_sharded_isin` / `_sorted_lookup`);
-    - each iteration is one map over the static edge set emitting
-      per-batch partial contribution sums keyed by the dst's md5 part,
-      then one coarse exchange merging TELEPORT + Σ per node.
-
-    Host identity inside the exchange is ``md5_number_lower(host)`` —
-    the same 64-bit-hash identity the keeper election and span scrub
-    already rely on (collision odds ~n²/2⁶⁵).
-    """
+def _host_nodes(ds_urls: rd.Dataset, n_parts: int):
+    """Distinct corpus hosts, partitioned by ``md5_number_lower(host) %
+    n_parts``: per-batch distinct partials, ONE coarse exchange, plus
+    the sharded sorted-uint64 membership blobs (`_shard_refs`).  Shared
+    by every host-graph op (`host_pagerank`, `host_two_hop`) so the
+    node identity can never drift between them.  Returns
+    ``(nodes, node_refs)`` — nodes materialized with columns
+    (host, hm, part)."""
     from .export import _md5_lower_arr
 
-    ds = _read_corpus(sf_dir, ["url", "html"])
-    # the node pass never touches html — prune to the url column so
-    # pass A reads a few bytes per row, not the payload channel
-    ds_urls = _read_corpus(sf_dir, ["url"])
-
-    # ---- pass A: nodes (host, hm, part), one row per distinct host
     def node_partial(df: pd.DataFrame) -> pd.DataFrame:
         host, _ = _host_section(df["url"])
         u = pd.unique(host.to_numpy(dtype=object))
@@ -649,8 +613,19 @@ def host_pagerank(sf_dir: str, iters: int = PAGERANK_ITERS,
         n_parts,
         lambda row: np.frombuffer(row["hm"], dtype=np.uint64),
     )
+    return nodes, node_refs
 
-    # ---- pass B: distinct qualifying edges, partitioned by src
+
+def _host_edges(ds: rd.Dataset, node_refs: list, n_parts: int) -> rd.Dataset:
+    """Distinct qualifying host-graph edges — pages on ``src`` linking
+    externally (scheme-absolute, target ≠ src) to a target host that is
+    itself a corpus node — partitioned by src.  The ``outlink_stats``
+    shape: one pruned (url, html) scan, per-batch distinct partials,
+    ONE coarse md5-hash exchange; outdeg is an in-part C groupby.
+    Columns: (part, sm, dm, outdeg, dst_part), materialized.  Shared by
+    `host_pagerank` and `host_two_hop`."""
+    from .export import _md5_lower_arr
+
     def edge_partial(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {"src": pd.Series(dtype=object), "dst": pd.Series(dtype=object),
@@ -706,12 +681,61 @@ def host_pagerank(sf_dir: str, iters: int = PAGERANK_ITERS,
              "dst_part": (dm % n_parts).astype(np.int64)}
         )
 
-    edges = (
+    return (
         ds.map_batches(edge_partial, batch_format="pandas", batch_size=2048)
         .groupby("part")
         .map_groups(edge_reduce, batch_format="pandas")
         .materialize()
     )
+
+
+def host_pagerank(sf_dir: str, iters: int = PAGERANK_ITERS,
+                  n_parts: int = PAGERANK_PARTS) -> rd.Dataset:
+    """Fixed-iteration PageRank over hosts: nodes are every host in the
+    corpus, edges the DISTINCT (src_host, dst_host) pairs where a page
+    on src links externally (scheme-absolute, target ≠ src) to a target
+    host that is itself a corpus node.  Per host: (host, n_out_hosts,
+    rank_micro).
+
+    Pinned integer semantics (bit-reproducible, so the independent SQL
+    oracle — a generated chain of join/group CTEs — matches exactly):
+    ``rank_0 = SCALE`` for every node; per iteration every node v gets
+    ``rank(v) = TELEPORT + Σ_{(u,v)∈E} (rank(u) * DAMP_NUM // DAMP_DEN)
+    // outdeg(u)`` with int64 floor division at both steps.  Dangling
+    hosts (no qualifying out-edges) contribute nothing — their damped
+    mass is dropped, not redistributed (documented divergence from the
+    textbook dangling-mass fix; it keeps every sum associative int64).
+
+    Scale shape — an iterative algorithm Ray Data has no native form
+    for, built from the module's own primitives:
+
+    - node and edge construction are the ``outlink_stats`` shape: one
+      pruned (url, html) scan, per-batch distinct partials, ONE coarse
+      md5-hash exchange each; edges land partitioned by src so outdeg
+      is an in-part C groupby (distinct (src, dst) is crawl-sized —
+      never a single task, never the driver);
+    - dst-membership (target must be a corpus host) and the per-
+      iteration rank table both travel as sharded sorted-uint64 blobs
+      (`_shard_refs`): the driver holds one O(#hosts/n_parts) slice at
+      a time and map tasks ``searchsorted`` only the slices their
+      batch touches (`_sharded_isin` / `_sorted_lookup`);
+    - each iteration is one map over the static edge set emitting
+      per-batch partial contribution sums keyed by the dst's md5 part,
+      then one coarse exchange merging TELEPORT + Σ per node.
+
+    Host identity inside the exchange is ``md5_number_lower(host)`` —
+    the same 64-bit-hash identity the keeper election and span scrub
+    already rely on (collision odds ~n²/2⁶⁵).
+    """
+    ds = _read_corpus(sf_dir, ["url", "html"])
+    # the node pass never touches html — prune to the url column so
+    # pass A reads a few bytes per row, not the payload channel
+    ds_urls = _read_corpus(sf_dir, ["url"])
+
+    # ---- pass A: nodes; pass B: distinct qualifying edges (shared
+    # constructions — `_host_nodes` / `_host_edges`)
+    nodes, node_refs = _host_nodes(ds_urls, n_parts)
+    edges = _host_edges(ds, node_refs, n_parts)
 
     # ---- outdeg rows for the final report (one row per linking host)
     def outdeg_rows(g: pd.DataFrame) -> pd.DataFrame:
@@ -846,6 +870,171 @@ def host_pagerank(sf_dir: str, iters: int = PAGERANK_ITERS,
         rank_rows.union(deg_rows)
         .groupby("part")
         .map_groups(final_rows, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------- host_two_hop
+
+
+def host_two_hop(sf_dir: str, n_parts: int = PAGERANK_PARTS) -> rd.Dataset:
+    """Two-hop reach over the host link graph: for every host with at
+    least one qualifying out-edge — (host, n_out_hosts, n_two_hop,
+    n_reciprocal) where ``n_two_hop`` counts DISTINCT hosts b with a
+    path host→m→b over the distinct-edge set (b may equal host — a
+    cycle back counts; no exclusions, pinned) and ``n_reciprocal``
+    counts distinct m with both host→m and m→host.
+
+    Scale shape — a genuine distributed hash self-join of the edge set,
+    the one exchange kind the host-graph family still lacked:
+
+    - nodes and edges are the shared `_host_nodes` / `_host_edges`
+      constructions (distinct partials, one coarse exchange each);
+    - the join co-partitions both edge roles by the INTERMEDIATE host m
+      (left rows a→m keyed by ``dst_part``, right rows m→b keyed by
+      ``part``), so each of the 64 groups merges only its slice; the
+      per-group merge emits (a, b) pairs ALREADY deduplicated within
+      the group, bounding the second exchange at
+      Σ_part |distinct (a, b) via m in part| — the same
+      partial-distinct discipline as `outlink_stats`;
+    - a second coarse exchange keyed by a's part merges pair partials
+      (the same (a, b) can arise via intermediates in different parts),
+      counts distinct b per a, and joins host names / outdeg via the
+      tagged-union rollup `host_pagerank`'s final report uses.
+
+    Known skew bound (documented, not hidden): a hub intermediate m
+    contributes indeg(m)·outdeg(m) joined rows to its one group before
+    the in-group dedup — on a real crawl, salt such hubs or cap their
+    fanout with logged drops before this join; the synthetic graph has
+    no hub of that class.
+    """
+    ds = _read_corpus(sf_dir, ["url", "html"])
+    ds_urls = _read_corpus(sf_dir, ["url"])
+    nodes, node_refs = _host_nodes(ds_urls, n_parts)
+    edges = _host_edges(ds, node_refs, n_parts)
+
+    # ---- self-join keyed by the intermediate host m
+    def left_rows(df: pd.DataFrame) -> pd.DataFrame:
+        # a→m, shipped to m's part
+        return pd.DataFrame(
+            {"jpart": df["dst_part"].to_numpy(np.int64), "tag": np.int64(0),
+             "x": df["sm"].to_numpy(np.uint64),
+             "y": df["dm"].to_numpy(np.uint64)}
+        )
+
+    def right_rows(df: pd.DataFrame) -> pd.DataFrame:
+        # m→b, already partitioned by m (= src)
+        return pd.DataFrame(
+            {"jpart": df["part"].to_numpy(np.int64), "tag": np.int64(1),
+             "x": df["sm"].to_numpy(np.uint64),
+             "y": df["dm"].to_numpy(np.uint64)}
+        )
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["tag"] == 0]          # (a=x, m=y)
+        right = g[g["tag"] == 1]         # (m=x, b=y)
+        if not len(left) or not len(right):
+            return pd.DataFrame(
+                {"part": pd.Series(dtype="int64"),
+                 "a": pd.Series(dtype="uint64"),
+                 "kind": pd.Series(dtype="int64"),
+                 "key": pd.Series(dtype="uint64")}
+            )
+        m = left.merge(
+            right, left_on="y", right_on="x", suffixes=("_l", "_r")
+        )
+        a = m["x_l"].to_numpy(np.uint64)
+        mid = m["y_l"].to_numpy(np.uint64)
+        b = m["y_r"].to_numpy(np.uint64)
+        pairs = pd.DataFrame({"a": a, "kind": np.int64(0), "key": b})
+        rec = pd.DataFrame(
+            {"a": a[b == a], "kind": np.int64(1), "key": mid[b == a]}
+        )
+        out = pd.concat([pairs, rec], ignore_index=True).drop_duplicates()
+        out["part"] = (
+            out["a"].to_numpy(np.uint64) % np.uint64(n_parts)
+        ).astype(np.int64)
+        return out[["part", "a", "kind", "key"]]
+
+    joined = (
+        edges.map_batches(left_rows, batch_format="pandas", batch_size=None)
+        .union(
+            edges.map_batches(
+                right_rows, batch_format="pandas", batch_size=None
+            )
+        )
+        .groupby("jpart")
+        .map_groups(join_group, batch_format="pandas")
+    )
+
+    # ---- final rollup keyed by a's part: tagged union of name rows,
+    # outdeg rows, and the joined pair/reciprocal rows
+    name_rows = nodes.map_batches(
+        lambda df: pd.DataFrame(
+            {"part": df["part"].to_numpy(np.int64),
+             "a": df["hm"].to_numpy(np.uint64), "kind": np.int64(2),
+             "key": np.uint64(0), "host": df["host"].to_numpy(dtype=object),
+             "outdeg": np.int64(0)}
+        ),
+        batch_format="pandas", batch_size=None,
+    )
+
+    def deg_group(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.drop_duplicates("sm")
+        return pd.DataFrame(
+            {"part": f["part"].to_numpy(np.int64),
+             "a": f["sm"].to_numpy(np.uint64), "kind": np.int64(3),
+             "key": np.uint64(0), "host": "",
+             "outdeg": f["outdeg"].to_numpy(np.int64)}
+        )
+
+    deg_rows = edges.groupby("part").map_groups(
+        deg_group, batch_format="pandas"
+    )
+    pair_rows = joined.map_batches(
+        lambda df: df.assign(host="", outdeg=np.int64(0))[
+            ["part", "a", "kind", "key", "host", "outdeg"]
+        ],
+        batch_format="pandas", batch_size=None,
+    )
+
+    def final_group(g: pd.DataFrame) -> pd.DataFrame:
+        deg = g[g["kind"] == 3]
+        if not len(deg):
+            return pd.DataFrame(
+                {"host": pd.Series(dtype=object),
+                 "n_out_hosts": pd.Series(dtype="int64"),
+                 "n_two_hop": pd.Series(dtype="int64"),
+                 "n_reciprocal": pd.Series(dtype="int64")}
+            )
+        names = g[g["kind"] == 2].drop_duplicates("a")
+        hm = deg["a"].to_numpy(np.uint64)
+        order = np.argsort(names["a"].to_numpy(np.uint64))
+        host = _sorted_lookup(
+            names["a"].to_numpy(np.uint64)[order],
+            names["host"].to_numpy(dtype=object)[order], hm, default="",
+        )
+        two = (
+            g[g["kind"] == 0].drop_duplicates(["a", "key"])
+            .groupby("a").size()
+        )
+        rec = (
+            g[g["kind"] == 1].drop_duplicates(["a", "key"])
+            .groupby("a").size()
+        )
+        return pd.DataFrame(
+            {"host": host,
+             "n_out_hosts": deg["outdeg"].to_numpy(np.int64),
+             "n_two_hop": two.reindex(hm, fill_value=0)
+             .to_numpy(np.int64),
+             "n_reciprocal": rec.reindex(hm, fill_value=0)
+             .to_numpy(np.int64)}
+        )
+
+    return (
+        name_rows.union(deg_rows)
+        .union(pair_rows)
+        .groupby("part")
+        .map_groups(final_group, batch_format="pandas")
     )
 
 

@@ -798,3 +798,81 @@ def test_host_pagerank_matches_reference_loop(ray_session):
     assert int(got.set_index("host").loc["d.example", "rank_micro"]) == (
         wt.PAGERANK_TELEPORT
     )
+
+
+def test_host_two_hop_matches_reference_loop(ray_session):
+    """Engine vs an independent set-based two-hop/reciprocity loop on a
+    crafted graph: cycles count toward two-hop reach (b reaches itself
+    via a), hosts without out-edges never appear, duplicate paths to
+    the same target collapse to one, and the result is partition-count
+    invariant."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import latyas_ray.ops.webtext as wt
+
+    rows = [
+        # a -> b, a -> c; b -> a, b -> c; c dangling; d isolated (PDF)
+        ("https://a.example/1",
+         '<a href="https://b.example/x">l</a>'
+         '<a href="https://c.example/y">m</a>'),
+        ("https://b.example/1",
+         '<a href="https://a.example/home">back</a>'
+         '<a href="https://c.example/z">side</a>'),
+        ("https://c.example/1", "dangling: no links"),
+        ("https://d.example/1", None),  # PDF payload
+    ]
+    urls = [r[0] for r in rows]
+    htmls = [(r[1].encode() if r[1] else b"%PDF-1.4 fake") for r in rows]
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(
+            pa.table({"url": urls, "html": htmls}),
+            os.path.join(td, "pages-00000.parquet"),
+        )
+        base = rd.read_parquet(os.path.join(td, "pages-00000.parquet"))
+        orig = wt._read_corpus
+        wt._read_corpus = lambda sf_dir, columns: base.select_columns(columns)
+        try:
+            out = (
+                wt.host_two_hop(td).to_pandas()
+                .sort_values("host").reset_index(drop=True)
+            )
+            out8 = (
+                wt.host_two_hop(td, n_parts=8).to_pandas()
+                .sort_values("host").reset_index(drop=True)
+            )
+        finally:
+            wt._read_corpus = orig
+
+    # independent reference: plain sets, no hashing, no partitioning
+    edges = {("a.example", "b.example"), ("a.example", "c.example"),
+             ("b.example", "a.example"), ("b.example", "c.example")}
+    out_map: dict = {}
+    for s, d in edges:
+        out_map.setdefault(s, set()).add(d)
+    exp_rows = []
+    for h in sorted(out_map):
+        two = set()
+        for m in out_map[h]:
+            two |= out_map.get(m, set())
+        rec = sum(1 for m in out_map[h] if h in out_map.get(m, set()))
+        exp_rows.append((h, len(out_map[h]), len(two), rec))
+    exp = pd.DataFrame(
+        exp_rows,
+        columns=["host", "n_out_hosts", "n_two_hop", "n_reciprocal"],
+    )
+    got = out.astype(
+        {"n_out_hosts": "int64", "n_two_hop": "int64",
+         "n_reciprocal": "int64"}
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    pd.testing.assert_frame_equal(out, out8)
+    # a reaches {a, c} via b (cycle counts); b reaches {b, c} via a
+    m = got.set_index("host")
+    assert int(m.loc["a.example", "n_two_hop"]) == 2
+    assert int(m.loc["a.example", "n_reciprocal"]) == 1
+    assert "c.example" not in m.index and "d.example" not in m.index
