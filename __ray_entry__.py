@@ -218,8 +218,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "video_frame_features": _q_video_frames,
-        # text analysis over documents
-        "doc_stats_by_lang": _textstats.doc_stats_by_lang,
+        # the round's namesake capstone: curation gate × host-authority
+        # tier (in-window: new this round, never driver-verified;
+        # displaces 3×-green doc_stats_by_lang, whose partial-agg
+        # rollup shape stays in-window via domain_stats)
+        "tier_extraction": _webtext.tier_extraction,
         # round-4 token-budget head extraction (in-window: never
         # driver-verified; displaces 3-round-green token_counts, whose
         # per-doc tokenization shape stays in-window via quality_funnel
@@ -341,6 +344,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-collapse stage, lineitem partial-agg ≡
         # doc_stats_by_lang/domain_stats) ----
         "sessionize": _events.sessionize,
+        # rotated out for tier_extraction (3× green; partial-agg rollup
+        # shape covered in-window by domain_stats / quality_funnel)
+        "doc_stats_by_lang": _textstats.doc_stats_by_lang,
         # rotated out for host_two_hop (2× green; its broadcast-shingle
         # shape is a strict subset of in-window contamination_scrub)
         "contamination_check": _dedup.contamination_check,
@@ -1445,5 +1451,30 @@ def oracle_sql() -> dict[str, str]:
         "THEN md5_number_lower(uf.url) % 64 ELSE -1 END AS BIGINT) "
         "AS shard "
         "FROM uf JOIN fun USING (url) JOIN ded USING (url)"
+    )
+    # tier_extraction: the curation composite joined to an authority
+    # tier derived from the pagerank CTE chain — thresholds generated
+    # from the op's own constants; the mean is one integer aggregate
+    # (blind to the engine's sharded tier-blob lookup)
+    from latyas_ray.ops.webtext import (
+        TIER_CORE_MULT,
+        TIER_MID_DEN,
+        TIER_MID_NUM,
+    )
+
+    oracles["tier_extraction"] = (
+        f"WITH cur AS ({oracles['curation_pipeline']}), "
+        f"pr AS ({_host_pagerank_sql()}), "
+        "m AS (SELECT CAST(sum(rank_micro) AS BIGINT) // count(*) "
+        "AS mean FROM pr), "
+        "t AS (SELECT host, CASE "
+        f"WHEN rank_micro >= {TIER_CORE_MULT} * m.mean THEN 1 "
+        "WHEN rank_micro >= m.mean THEN 2 "
+        f"WHEN rank_micro >= {TIER_MID_NUM} * m.mean // {TIER_MID_DEN} "
+        "THEN 3 ELSE 4 END AS tier FROM pr CROSS JOIN m) "
+        "SELECT cur.url, cur.keep, "
+        "CAST(CASE WHEN cur.keep = 1 THEN t.tier ELSE -1 END AS BIGINT) "
+        "AS host_tier FROM cur JOIN t ON t.host = "
+        "split_part(split_part(cur.url, '://', 2), '/', 1)"
     )
     return oracles

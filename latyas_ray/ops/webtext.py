@@ -2027,7 +2027,35 @@ def curation_pipeline(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
 
     n_parts = 64
     ds = _read_corpus(sf_dir, ["url", "text"])
+    keeper_refs = _curation_keeper_refs(ds, n_parts)
+    bl_ref = ray.put(URL_BLOCKLIST)
 
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        urls, _, flags = _curation_flags(
+            df, ray.get(bl_ref), keeper_refs, n_parts
+        )
+        shard = np.where(
+            flags["keep"].astype(bool),
+            (flags["own"] % np.uint64(n_shards)).astype(np.int64),
+            np.int64(-1),
+        )
+        return pd.DataFrame(
+            {"url": urls,
+             "keep_url": flags["keep_url"],
+             "keep_quality": flags["keep_quality"],
+             "keep_dedup": flags["keep_dedup"],
+             "keep": flags["keep"],
+             "shard": shard}
+        )
+
+    return ds.map_batches(gate, batch_format="pandas", batch_size=512)
+
+
+def _curation_keeper_refs(ds: rd.Dataset, n_parts: int) -> list:
+    """Exact-text keeper election shared by `curation_pipeline` and
+    `tier_extraction`: per-batch min-url per text-md5 partials, ONE
+    coarse md5-keyed shuffle, per-part sorted ``S32`` md5 keys +
+    ``md5_number_lower(keeper_url)`` values packed as sharded blobs."""
     from .export import _md5_lower_arr
 
     def ded_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -2057,7 +2085,7 @@ def curation_pipeline(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
              "kn": [keeper.tobytes()]}
         )
 
-    keeper_refs = _shard_refs(
+    return _shard_refs(
         ds.map_batches(ded_partial, batch_format="pandas", batch_size=2048)
         .groupby("part")
         .map_groups(ded_pack, batch_format="pandas"),
@@ -2068,48 +2096,165 @@ def curation_pipeline(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
         ),
     )
 
+
+def _curation_flags(df: pd.DataFrame, bl: dict, keeper_refs: list,
+                    n_parts: int):
+    """The single-pass curation gate kernel shared by
+    `curation_pipeline` and `tier_extraction`: URL flags, the three
+    quality batteries over one `_flat_tokens` run, keeper lookup via
+    searchsorted on the batch's md5-part slices.  Returns
+    ``(urls, host, flags)`` with flags a dict of int64/uint64 arrays:
+    keep_url, keep_quality, keep_dedup, keep, own."""
+    import ray
+
+    t = df["text"].fillna("").reset_index(drop=True)
+    urls = df["url"].reset_index(drop=True)
+    from .export import _md5_lower_arr
+
+    host, _, _, _, keep_url = _url_gate(urls, bl)
+    tok = _flat_tokens(t)
+    g = _gopher_quality_frame(df, tok=tok)
+    r = _gopher_repetition_frame(df, tok=tok)
+    c = _c4_quality_frame(df)
+    keep_q = (
+        g["passes_gopher"].to_numpy().astype(bool)
+        & r["passes_repetition"].to_numpy().astype(bool)
+        & c["passes_c4"].to_numpy().astype(bool)
+    )
+    md5s = np.array(
+        [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t],
+        dtype=object,
+    )
+    part = (pd.util.hash_array(md5s) % n_parts).astype(np.int64)
+    own = _md5_lower_arr(urls.to_numpy(dtype=object))
+    keeper = np.zeros(len(t), dtype=np.uint64)
+    m32 = md5s.astype("S32")
+    for p in np.unique(part):
+        ref = keeper_refs[int(p)]
+        if ref is None:
+            continue
+        keys, kn = ray.get(ref)
+        sel = part == p
+        keeper[sel] = _sorted_lookup(keys, kn, m32[sel])
+    keep_d = keeper == own
+    keep = keep_url & keep_q & keep_d
+    flags = {
+        "keep_url": keep_url.astype(np.int64),
+        "keep_quality": keep_q.astype(np.int64),
+        "keep_dedup": keep_d.astype(np.int64),
+        "keep": keep.astype(np.int64),
+        "own": own,
+    }
+    return urls, host, flags
+
+
+# ------------------------------------------------------ tier_extraction
+
+# Host-authority tier thresholds relative to the integer mean rank —
+# pinned here, shared with the generated SQL oracle (one home):
+# tier 1 ("core")  rank >= TIER_CORE_MULT * mean
+# tier 2 ("high")  rank >= mean
+# tier 3 ("mid")   rank >= TIER_MID_NUM * mean // TIER_MID_DEN
+# tier 4 ("tail")  otherwise
+TIER_CORE_MULT = 2
+TIER_MID_NUM = 3
+TIER_MID_DEN = 4
+
+
+def tier_extraction(sf_dir: str, n_parts: int = 64) -> rd.Dataset:
+    """The round's namesake capstone — end-to-end TIER EXTRACTION over
+    the crawl: run the full curation gate (URL blocklist ∧ the
+    Gopher/C4 quality funnel ∧ exact-text keeper election, the
+    `curation_pipeline` composition) and assign every SURVIVING
+    document an authority tier from its host's PageRank standing.  Per
+    url: (url, keep, host_tier) with host_tier ∈ {1..4} for keepers
+    (thresholds vs the integer mean rank — see the pinned constants
+    above) and −1 for rejected documents.
+
+    Tiering by rank-vs-mean rather than quantiles is deliberate: the
+    mean is ONE associative int64 aggregate over the host table (no
+    global sort, no NTILE tie-break protocol), so the tier boundary
+    costs a scalar broadcast at any cluster size, and the semantics
+    stay bit-reproducible for the SQL oracle.
+
+    Scale shape — nothing new is invented, the capstone only composes
+    verified pieces: `host_pagerank` (its own sharded-iteration
+    machinery) materialized once as the per-host rank table; one tiny
+    rollup for (Σ rank, #hosts); the tier table re-packed as sharded
+    sorted blobs keyed by the host md5 (`_shard_refs`); the keeper
+    election and the single gate pass shared verbatim with
+    `curation_pipeline` (`_curation_keeper_refs` / `_curation_flags`)
+    with one extra `_sorted_lookup` per batch for the tier."""
+    import ray
+
+    from .export import _md5_lower_arr
+
+    pr = host_pagerank(sf_dir, n_parts=n_parts).materialize()
+
+    # ---- scalar: integer mean rank over ALL corpus hosts
+    def mean_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"s": [np.int64(df["rank_micro"].to_numpy(np.int64).sum())],
+             "n": [np.int64(len(df))]}
+        )
+
+    agg = pr.map_batches(
+        mean_partial, batch_format="pandas", batch_size=8192
+    ).to_pandas()
+    mean = int(agg["s"].sum()) // int(agg["n"].sum())
+
+    # ---- per-host tier, shipped as sharded sorted blobs keyed by hm
+    def tier_partial(df: pd.DataFrame) -> pd.DataFrame:
+        r = df["rank_micro"].to_numpy(np.int64)
+        tier = np.full(len(r), 4, dtype=np.int64)
+        tier[r >= TIER_MID_NUM * mean // TIER_MID_DEN] = 3
+        tier[r >= mean] = 2
+        tier[r >= TIER_CORE_MULT * mean] = 1
+        hm = _md5_lower_arr(df["host"].to_numpy(dtype=object))
+        return pd.DataFrame(
+            {"hm": hm, "tier": tier,
+             "part": (hm % n_parts).astype(np.int64)}
+        )
+
+    def tier_pack(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.sort_values("hm")
+        return pd.DataFrame(
+            {"part": [int(f["part"].iloc[0])],
+             "hm": [f["hm"].to_numpy(np.uint64).tobytes()],
+             "t": [f["tier"].to_numpy(np.int64).tobytes()]}
+        )
+
+    tier_refs = _shard_refs(
+        pr.map_batches(tier_partial, batch_format="pandas", batch_size=8192)
+        .groupby("part")
+        .map_groups(tier_pack, batch_format="pandas"),
+        n_parts,
+        lambda row: (np.frombuffer(row["hm"], dtype=np.uint64),
+                     np.frombuffer(row["t"], dtype=np.int64)),
+    )
+
+    # ---- the shared curation gate, plus one tier lookup per batch
+    ds = _read_corpus(sf_dir, ["url", "text"])
+    keeper_refs = _curation_keeper_refs(ds, n_parts)
     bl_ref = ray.put(URL_BLOCKLIST)
 
     def gate(df: pd.DataFrame) -> pd.DataFrame:
-        t = df["text"].fillna("").reset_index(drop=True)
-        urls = df["url"].reset_index(drop=True)
-        _, _, _, _, keep_url = _url_gate(urls, ray.get(bl_ref))
-        tok = _flat_tokens(t)
-        g = _gopher_quality_frame(df, tok=tok)
-        r = _gopher_repetition_frame(df, tok=tok)
-        c = _c4_quality_frame(df)
-        keep_q = (
-            g["passes_gopher"].to_numpy().astype(bool)
-            & r["passes_repetition"].to_numpy().astype(bool)
-            & c["passes_c4"].to_numpy().astype(bool)
+        urls, host, flags = _curation_flags(
+            df, ray.get(bl_ref), keeper_refs, n_parts
         )
-        md5s = np.array(
-            [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t],
-            dtype=object,
-        )
-        part = (pd.util.hash_array(md5s) % n_parts).astype(np.int64)
-        own = _md5_lower_arr(urls.to_numpy(dtype=object))
-        keeper = np.zeros(len(t), dtype=np.uint64)
-        m32 = md5s.astype("S32")
-        for p in np.unique(part):
-            ref = keeper_refs[int(p)]
+        hm = _md5_lower_arr(host.to_numpy(dtype=object))
+        hpart = (hm % n_parts).astype(np.int64)
+        tier = np.zeros(len(hm), dtype=np.int64)
+        for p in np.unique(hpart):
+            ref = tier_refs[int(p)]
             if ref is None:
                 continue
-            keys, kn = ray.get(ref)
-            sel = part == p
-            keeper[sel] = _sorted_lookup(keys, kn, m32[sel])
-        keep_d = keeper == own
-        keep = keep_url & keep_q & keep_d
-        shard = np.where(
-            keep, (own % np.uint64(n_shards)).astype(np.int64), np.int64(-1)
-        )
+            sel = hpart == p
+            keys, vals = ray.get(ref)
+            tier[sel] = _sorted_lookup(keys, vals, hm[sel])
+        host_tier = np.where(flags["keep"].astype(bool), tier, np.int64(-1))
         return pd.DataFrame(
-            {"url": urls,
-             "keep_url": keep_url.astype(np.int64),
-             "keep_quality": keep_q.astype(np.int64),
-             "keep_dedup": keep_d.astype(np.int64),
-             "keep": keep.astype(np.int64),
-             "shard": shard}
+            {"url": urls, "keep": flags["keep"], "host_tier": host_tier}
         )
 
     return ds.map_batches(gate, batch_format="pandas", batch_size=512)

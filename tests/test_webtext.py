@@ -876,3 +876,26 @@ def test_host_two_hop_matches_reference_loop(ray_session):
     assert int(m.loc["a.example", "n_two_hop"]) == 2
     assert int(m.loc["a.example", "n_reciprocal"]) == 1
     assert "c.example" not in m.index and "d.example" not in m.index
+
+
+def test_tier_extraction_invariants(ray_session):
+    """Capstone invariants at sf0.001: host_tier == -1 exactly for
+    rejected documents, kept tiers land in {1..4}, keep agrees
+    row-for-row with curation_pipeline, and every document of one host
+    that survives shares that host's tier."""
+    import latyas_ray.ops.webtext as wt
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = wt.tier_extraction(sf_dir).to_pandas()
+    cur = wt.curation_pipeline(sf_dir).to_pandas()
+
+    kept = out[out["keep"] == 1]
+    rej = out[out["keep"] == 0]
+    assert (rej["host_tier"] == -1).all()
+    assert kept["host_tier"].isin([1, 2, 3, 4]).all()
+    m = out.merge(cur[["url", "keep"]], on="url", suffixes=("", "_cur"))
+    assert (m["keep"] == m["keep_cur"]).all()
+    # one tier per host among keepers
+    host = kept["url"].str.split("://").str[1].str.split("/").str[0]
+    per_host = kept.assign(host=host).groupby("host")["host_tier"].nunique()
+    assert (per_host == 1).all()
