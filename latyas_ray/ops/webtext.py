@@ -991,17 +991,23 @@ def host_two_hop(sf_dir: str, n_parts: int = PAGERANK_PARTS) -> rd.Dataset:
         deg_group, batch_format="pandas"
     )
     pair_rows = joined.map_batches(
-        lambda df: df.assign(host="", outdeg=np.int64(0))[
-            ["part", "a", "kind", "key", "host", "outdeg"]
-        ],
+        # 'string' dtype (not object) so empty joined blocks don't trip
+        # Ray's vectorize-based size accounting
+        lambda df: df.assign(
+            host=pd.array([""] * len(df), dtype="string"),
+            outdeg=np.int64(0),
+        )[["part", "a", "kind", "key", "host", "outdeg"]],
         batch_format="pandas", batch_size=None,
     )
 
     def final_group(g: pd.DataFrame) -> pd.DataFrame:
         deg = g[g["kind"] == 3]
         if not len(deg):
+            # empty parts hold only name rows (hosts with no qualifying
+            # out-edges); 'string' dtype keeps Ray's size accounting off
+            # the object-column vectorize path
             return pd.DataFrame(
-                {"host": pd.Series(dtype=object),
+                {"host": pd.Series(dtype="string"),
                  "n_out_hosts": pd.Series(dtype="int64"),
                  "n_two_hop": pd.Series(dtype="int64"),
                  "n_reciprocal": pd.Series(dtype="int64")}
