@@ -241,7 +241,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lineitem_pricing_summary, whose partial-agg-rollup shape stays
         # covered in-window by doc_stats_by_lang / domain_stats)
         "dsir_weights": _oracled("dsir_weights", _lm.dsir_weights),
-        "doc_fingerprints": _oracled("doc_fingerprints", _textstats.doc_fingerprints),
         # web-corpus curation over the CC-shaped pages table (independent
         # DuckDB SQL oracles over the same parquet shards)
         "latest_snapshot": _webtext.latest_snapshot,
@@ -268,6 +267,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # contamination_check, whose broadcast-shingle shape is a strict
         # subset of in-window contamination_scrub)
         "host_two_hop": _webtext.host_two_hop,
+        # connected components of the undirected host graph — the
+        # module's one iterate-to-fixpoint label propagation (in-window:
+        # new this round, never driver-verified; displaces 2×-green
+        # doc_fingerprints, whose rolling-hash map shape is a strict
+        # subset of in-window dup_span_census's window pass)
+        "host_components": _webtext.host_components,
         # round-4 stage-1 URL gate (in-window: never driver-verified; it
         # displaces 2-round-green embedding_neardup — the documented-weak
         # full-broadcast baseline whose scale path, in-window
@@ -350,6 +355,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated out for host_two_hop (2× green; its broadcast-shingle
         # shape is a strict subset of in-window contamination_scrub)
         "contamination_check": _dedup.contamination_check,
+        # rotated out for host_components (2× green; rolling-hash map
+        # shape subsumed by in-window dup_span_census's window pass)
+        "doc_fingerprints": _oracled("doc_fingerprints", _textstats.doc_fingerprints),
         # rotated out for host_pagerank (2× green; broadcast-join shape
         # covered in-window — see the displacement note at host_pagerank)
         "orders_by_nation": _relational.orders_by_nation,
@@ -767,6 +775,47 @@ def _host_two_hop_sql() -> str:
         "FROM od LEFT JOIN two ON two.host = od.src "
         "LEFT JOIN rec ON rec.host = od.src"
     )
+
+
+def _host_components_sql() -> str:
+    """Independent recompute of ``host_components``: the shared edge
+    CTEs, an undirected view (both directions of every edge), then the
+    fixed-iteration min-label recurrence as a GENERATED chain of
+    join/group CTEs — `least(own, min over neighbors)` per round, the
+    exact pinned semantics — blind to the engine's sharded-label-blob
+    iteration and early fixpoint exit (idempotent extra rounds make the
+    two iteration counts equivalent).  Labels are
+    ``md5_number_lower(host)`` (the module's pinned host identity);
+    only the representative's NAME and the component size reach the
+    compare."""
+    from latyas_ray.ops.webtext import COMPONENTS_ITERS
+
+    # each round references the previous label table exactly ONCE —
+    # DuckDB inlines multiply-referenced CTEs, so the natural
+    # least(own, min-over-neighbors) double reference would re-expand
+    # the whole edge extraction 2^ITERS times.  A self-loop per host
+    # folds the own-label term into the same min.
+    sql = (
+        _host_edges_ctes()
+        + ", ue AS (SELECT src AS a, dst AS b FROM e "
+        "UNION ALL SELECT dst AS a, src AS b FROM e "
+        "UNION ALL SELECT host AS a, host AS b FROM hosts), "
+        "l0 AS (SELECT host, md5_number_lower(host) AS lab FROM hosts)"
+    )
+    for k in range(1, COMPONENTS_ITERS + 1):
+        sql += (
+            f", l{k} AS (SELECT ue.b AS host, min(l.lab) AS lab "
+            f"FROM ue JOIN l{k - 1} l ON l.host = ue.a GROUP BY ue.b)"
+        )
+    lf = f"l{COMPONENTS_ITERS}"
+    sql += (
+        f", sz AS (SELECT lab, CAST(count(*) AS BIGINT) "
+        f"AS component_size FROM {lf} GROUP BY lab) "
+        f"SELECT f.host, r.host AS component_host, s.component_size "
+        f"FROM {lf} f JOIN l0 r ON r.lab = f.lab "
+        "JOIN sz s ON s.lab = f.lab"
+    )
+    return sql
 
 
 def _url_filter_sql() -> str:
@@ -1251,6 +1300,7 @@ def oracle_sql() -> dict[str, str]:
         "outlink_stats": _outlink_stats_sql(),
         "host_pagerank": _host_pagerank_sql(),
         "host_two_hop": _host_two_hop_sql(),
+        "host_components": _host_components_sql(),
         # training-export ops: md5_number_lower(url) is the pinned
         # shard/partition identity (≡ int.from_bytes(md5[8:], 'little'),
         # tests/test_export.py); checksum is the order-independent

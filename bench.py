@@ -205,6 +205,7 @@ def run_bench() -> dict:
     op_fns["outlink_stats"] = webtext.outlink_stats
     op_fns["host_pagerank"] = webtext.host_pagerank
     op_fns["host_two_hop"] = webtext.host_two_hop
+    op_fns["host_components"] = webtext.host_components
     op_fns["tier_extraction"] = webtext.tier_extraction
     op_fns["curation_pipeline"] = webtext.curation_pipeline
     op_fns["quality_funnel"] = webtext.quality_funnel

@@ -1044,6 +1044,264 @@ def host_two_hop(sf_dir: str, n_parts: int = PAGERANK_PARTS) -> rd.Dataset:
     )
 
 
+# ------------------------------------------------------ host_components
+
+# Fixed-round cap for min-label propagation, shared with the generated
+# SQL oracle (one home).  The sf0.01/sf0.001 blogroll graphs converge in
+# 7 rounds (measured); 10 leaves margin, and the engine early-exits at
+# the fixpoint while the oracle's extra unrolled rounds are idempotent.
+COMPONENTS_ITERS = 10
+
+
+def host_components(sf_dir: str, iters: int = COMPONENTS_ITERS,
+                    n_parts: int = PAGERANK_PARTS) -> rd.Dataset:
+    """Connected components of the UNDIRECTED host link graph via
+    min-label propagation (the MapReduce-CC building block of Rastogi
+    et al., "Finding Connected Components in Map-Reduce", ICDE 2013 —
+    the plain k-hop variant).  Per host: (host, component_host,
+    component_size) where ``component_host`` is the component's
+    representative — the member whose ``md5_number_lower`` is the
+    component minimum — so only strings and int64 cross the driver
+    compare, never a raw uint64 label.
+
+    Pinned semantics (bit-reproducible, shared with the generated SQL
+    oracle): ``label_0(v) = md5_number_lower(v)``; each round,
+    ``label(v) = min(label(v), min over undirected neighbors u of
+    label_prev(u))``; exactly ``iters`` rounds.  Plain propagation
+    needs diameter-many rounds — fine for host graphs (small-world);
+    for adversarial diameters swap in the paper's pointer-doubling
+    variant, which this op's iteration machinery already supports
+    (the label table IS the pointer table).
+
+    Scale shape — the same iterative skeleton as `host_pagerank`:
+
+    - nodes/edges are the shared `_host_nodes` / `_host_edges`
+      constructions; the undirected view is each distinct edge emitted
+      in both directions with NO dedup exchange (min is idempotent, so
+      the cross-direction duplicates a↔b cost nothing);
+    - per round: the label table travels as sharded sorted-uint64
+      blobs (`_shard_refs` — driver holds one O(#hosts/n_parts) slice
+      at a time), one map over the static edge set emits per-batch
+      partial MINS keyed by the dst's part, one coarse exchange merges
+      min(current, contributions) per node;
+    - early exit: each round also counts changed labels (a small
+      aggregate over the already-materialized label table), stopping
+      at the fixpoint instead of burning the remaining rounds;
+    - the final report is two tiny exchanges over per-batch partials
+      keyed by ``label % n_parts`` — component sizes + representative
+      names land as one row per component (never one group per
+      component over member ROWS, so the web's giant component cannot
+      skew a single task), then a sharded-lookup map stamps every
+      host.  A real crawl's giant component makes the size table
+      small, not any single group large.
+    """
+    ds = _read_corpus(sf_dir, ["url", "html"])
+    ds_urls = _read_corpus(sf_dir, ["url"])
+    nodes, node_refs = _host_nodes(ds_urls, n_parts)
+    edges = _host_edges(ds, node_refs, n_parts)
+
+    UMAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        # (part, sm, dm, dst_part) invariants preserved per direction:
+        # part is always the SOURCE-side md5 part the label lookup keys
+        # on, dst_part the side the contribution ships to
+        return pd.DataFrame(
+            {"part": np.concatenate(
+                [df["part"].to_numpy(np.int64),
+                 df["dst_part"].to_numpy(np.int64)]),
+             "sm": np.concatenate(
+                 [df["sm"].to_numpy(np.uint64),
+                  df["dm"].to_numpy(np.uint64)]),
+             "dm": np.concatenate(
+                 [df["dm"].to_numpy(np.uint64),
+                  df["sm"].to_numpy(np.uint64)]),
+             "dst_part": np.concatenate(
+                 [df["dst_part"].to_numpy(np.int64),
+                  df["part"].to_numpy(np.int64)])}
+        )
+
+    und = edges.map_batches(
+        both_dirs, batch_format="pandas", batch_size=None
+    ).materialize()
+
+    # ---- iterate: labels start at each node's own hm
+    labels = nodes.map_batches(
+        lambda df: df.assign(lab=df["hm"].to_numpy(np.uint64)),
+        batch_format="pandas", batch_size=None,
+    ).materialize()
+
+    def pack_labels(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.sort_values("hm")
+        return pd.DataFrame(
+            {"part": [int(f["part"].iloc[0])],
+             "hm": [f["hm"].to_numpy(np.uint64).tobytes()],
+             "lab": [f["lab"].to_numpy(np.uint64).tobytes()]}
+        )
+
+    def unpack_labels(row):
+        return (np.frombuffer(row["hm"], dtype=np.uint64),
+                np.frombuffer(row["lab"], dtype=np.uint64))
+
+    for _ in range(iters):
+        label_refs = _shard_refs(
+            labels.groupby("part").map_groups(
+                pack_labels, batch_format="pandas"
+            ),
+            n_parts, unpack_labels,
+        )
+
+        def contrib(df: pd.DataFrame, refs=label_refs) -> pd.DataFrame:
+            import ray as _ray
+
+            sm = df["sm"].to_numpy(np.uint64)
+            lab = np.full(len(df), UMAX, dtype=np.uint64)
+            parts = df["part"].to_numpy(np.int64)
+            for p in np.unique(parts):
+                ref = refs[int(p)]
+                if ref is None:
+                    continue
+                sel = parts == p
+                keys, vals = _ray.get(ref)
+                # every sm is a corpus host by edge construction, so
+                # the lookup always hits; UMAX would otherwise leak a
+                # fake "no contribution" into the min
+                lab[sel] = _sorted_lookup(keys, vals, sm[sel],
+                                          default=UMAX)
+            return (
+                pd.DataFrame(
+                    {"part": df["dst_part"].to_numpy(np.int64),
+                     "hm": df["dm"].to_numpy(np.uint64), "ml": lab}
+                )
+                .groupby(["part", "hm"], as_index=False)
+                .min()
+            )
+
+        def apply_labels(g: pd.DataFrame) -> pd.DataFrame:
+            n = g[g["tag"] == 0]
+            c = (
+                g[g["tag"] == 1]
+                .groupby("hm", as_index=False)["ml"].min()
+            )
+            m = _sorted_lookup(
+                c["hm"].to_numpy(np.uint64),
+                c["ml"].to_numpy(np.uint64),
+                n["hm"].to_numpy(np.uint64),
+                default=UMAX,
+            ) if len(c) else np.full(len(n), UMAX, dtype=np.uint64)
+            old = n["lab"].to_numpy(np.uint64)
+            new = np.minimum(old, m)
+            return pd.DataFrame(
+                {"host": n["host"].to_numpy(dtype=object),
+                 "hm": n["hm"].to_numpy(np.uint64),
+                 "part": n["part"].to_numpy(np.int64),
+                 "lab": new,
+                 "changed": (new != old).astype(np.int64)}
+            )
+
+        node_rows = labels.map_batches(
+            lambda df: df.assign(tag=np.int64(0), ml=np.uint64(0))[
+                ["host", "hm", "part", "tag", "lab", "ml"]
+            ],
+            batch_format="pandas", batch_size=None,
+        )
+        contrib_rows = und.map_batches(
+            contrib, batch_format="pandas", batch_size=4096
+        ).map_batches(
+            lambda df: df.assign(
+                host=pd.array([""] * len(df), dtype="string"),
+                tag=np.int64(1), lab=np.uint64(0),
+            )[["host", "hm", "part", "tag", "lab", "ml"]],
+            batch_format="pandas", batch_size=None,
+        )
+        labels = (
+            node_rows.union(contrib_rows)
+            .groupby("part")
+            .map_groups(apply_labels, batch_format="pandas")
+            .materialize()
+        )
+        if labels.sum("changed") == 0:
+            break
+
+    # ---- component table: per-batch partials keyed by lab's part —
+    # (lab, partial count) plus the rep-name row each batch contributes
+    # when it holds the member with hm == lab
+    def comp_partial(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df["lab"].to_numpy(np.uint64)
+        g = (
+            pd.DataFrame({"lab": lab, "n": np.int64(1)})
+            .groupby("lab", as_index=False)
+            .sum()
+        )
+        g["host"] = pd.array([""] * len(g), dtype="string")
+        rep = df[df["hm"].to_numpy(np.uint64) == lab]
+        if len(rep):
+            g = pd.concat(
+                [g, pd.DataFrame(
+                    {"lab": rep["hm"].to_numpy(np.uint64),
+                     "n": np.int64(0),
+                     "host": pd.array(
+                         rep["host"].to_numpy(dtype=object),
+                         dtype="string")}
+                )],
+                ignore_index=True,
+            )
+        g["part"] = (
+            g["lab"].to_numpy(np.uint64) % np.uint64(n_parts)
+        ).astype(np.int64)
+        return g[["part", "lab", "n", "host"]]
+
+    def comp_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("lab", as_index=False)["n"].sum()
+        reps = g[g["host"].fillna("") != ""].drop_duplicates("lab")
+        f = sizes.merge(reps[["lab", "host"]], on="lab", how="left")
+        f = f.sort_values("lab")
+        return pd.DataFrame(
+            {"part": [int(g["part"].iloc[0])],
+             "lab": [f["lab"].to_numpy(np.uint64).tobytes()],
+             "n": [f["n"].to_numpy(np.int64).tobytes()],
+             "host": [f["host"].fillna("").to_numpy(dtype=object)]}
+        )
+
+    comp_refs = _shard_refs(
+        labels.map_batches(
+            comp_partial, batch_format="pandas", batch_size=None
+        )
+        .groupby("part")
+        .map_groups(comp_reduce, batch_format="pandas"),
+        n_parts,
+        lambda row: (np.frombuffer(row["lab"], dtype=np.uint64),
+                     np.frombuffer(row["n"], dtype=np.int64),
+                     np.asarray(row["host"], dtype=object)),
+    )
+
+    # ---- stamp every host with its component's size + representative
+    def stamp(df: pd.DataFrame, refs=comp_refs) -> pd.DataFrame:
+        import ray as _ray
+
+        lab = df["lab"].to_numpy(np.uint64)
+        parts = (lab % np.uint64(n_parts)).astype(np.int64)
+        size = np.zeros(len(df), dtype=np.int64)
+        rep = np.full(len(df), "", dtype=object)
+        for p in np.unique(parts):
+            ref = refs[int(p)]
+            if ref is None:
+                continue
+            sel = parts == p
+            keys, sizes, hosts = _ray.get(ref)
+            size[sel] = _sorted_lookup(keys, sizes, lab[sel])
+            rep[sel] = _sorted_lookup(keys, hosts, lab[sel], default="")
+        return pd.DataFrame(
+            {"host": df["host"].to_numpy(dtype=object),
+             "component_host": rep,
+             "component_size": size}
+        )
+
+    return labels.map_batches(
+        stamp, batch_format="pandas", batch_size=4096
+    )
+
+
 # -------------------------------------------------------- gopher_quality
 
 # Gopher rule constants (Rae et al. 2021, table A1) — pinned once, shared

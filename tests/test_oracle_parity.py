@@ -99,7 +99,7 @@ OPS_QUERIES = [
     "dup_span_removal", "url_filter", "dsir_weights", "outlink_stats",
     "curation_pipeline", "contamination_scrub", "dsir_resample",
     "token_budget_mix", "domain_mixture", "host_pagerank",
-    "host_two_hop", "tier_extraction",
+    "host_two_hop", "tier_extraction", "host_components",
 ]
 
 

@@ -878,6 +878,82 @@ def test_host_two_hop_matches_reference_loop(ray_session):
     assert "c.example" not in m.index and "d.example" not in m.index
 
 
+def test_host_components_matches_reference_bfs(ray_session):
+    """Engine vs an independent BFS on a crafted multi-component graph:
+    a 6-host undirected chain (propagation must cross 5 hops — deeper
+    than one round), a separate reciprocal pair, and an isolated PDF
+    host forming a singleton.  Representative = member with the minimum
+    md5_number_lower (recomputed here from hashlib, not the engine's
+    helper); result is partition-count invariant."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import latyas_ray.ops.webtext as wt
+
+    chain = [f"c{i}.example" for i in range(6)]
+    rows = [
+        # chain: c0 -> c1 -> ... -> c5 (one directed link each)
+        *[
+            (f"https://{chain[i]}/1",
+             f'<a href="https://{chain[i + 1]}/x">n</a>')
+            for i in range(5)
+        ],
+        ("https://c5.example/1", "end of chain: no links"),
+        # reciprocal pair e <-> f
+        ("https://e.example/1", '<a href="https://f.example/x">l</a>'),
+        ("https://f.example/1", '<a href="https://e.example/y">l</a>'),
+        ("https://d.example/1", None),  # PDF payload -> singleton
+    ]
+    urls = [r[0] for r in rows]
+    htmls = [(r[1].encode() if r[1] else b"%PDF-1.4 fake") for r in rows]
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(
+            pa.table({"url": urls, "html": htmls}),
+            os.path.join(td, "pages-00000.parquet"),
+        )
+        base = rd.read_parquet(os.path.join(td, "pages-00000.parquet"))
+        orig = wt._read_corpus
+        wt._read_corpus = lambda sf_dir, columns: base.select_columns(columns)
+        try:
+            out = (
+                wt.host_components(td).to_pandas()
+                .sort_values("host").reset_index(drop=True)
+            )
+            out8 = (
+                wt.host_components(td, n_parts=8).to_pandas()
+                .sort_values("host").reset_index(drop=True)
+            )
+        finally:
+            wt._read_corpus = orig
+
+    # independent reference: BFS over plain sets, min-md5 representative
+    def m64(s: str) -> int:
+        return int.from_bytes(
+            hashlib.md5(s.encode()).digest()[8:], "little"
+        )
+
+    comps = [set(chain), {"e.example", "f.example"}, {"d.example"}]
+    exp_rows = []
+    for comp in comps:
+        rep = min(comp, key=m64)
+        for h in comp:
+            exp_rows.append((h, rep, len(comp)))
+    exp = (
+        pd.DataFrame(
+            exp_rows, columns=["host", "component_host", "component_size"]
+        )
+        .sort_values("host").reset_index(drop=True)
+    )
+    got = out.astype({"component_size": "int64"})
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    pd.testing.assert_frame_equal(out, out8)
+
+
 def test_tier_extraction_invariants(ray_session):
     """Capstone invariants at sf0.001: host_tier == -1 exactly for
     rejected documents, kept tiers land in {1..4}, keep agrees
