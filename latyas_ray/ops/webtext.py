@@ -1059,10 +1059,15 @@ def host_components(sf_dir: str, iters: int = COMPONENTS_ITERS,
     min-label propagation (the MapReduce-CC building block of Rastogi
     et al., "Finding Connected Components in Map-Reduce", ICDE 2013 —
     the plain k-hop variant).  Per host: (host, component_host,
-    component_size) where ``component_host`` is the component's
-    representative — the member whose ``md5_number_lower`` is the
-    component minimum — so only strings and int64 cross the driver
-    compare, never a raw uint64 label.
+    component_size) where ``component_host`` is the host whose
+    ``md5_number_lower`` equals the group's final label — at the
+    fixpoint, the member with the component-minimum digest — so only
+    strings and int64 cross the driver compare, never a raw uint64
+    label.  Short of the fixpoint (diameter > ``iters``) the output is
+    still well-defined and oracle-identical: labels after exactly
+    ``iters`` rounds, each resolved to its owning host's name (the
+    owner may sit in a different partial group — the oracle's
+    ``JOIN l0 ON l0.lab = f.lab`` has the same property).
 
     Pinned semantics (bit-reproducible, shared with the generated SQL
     oracle): ``label_0(v) = md5_number_lower(v)``; each round,
@@ -1224,8 +1229,13 @@ def host_components(sf_dir: str, iters: int = COMPONENTS_ITERS,
             break
 
     # ---- component table: per-batch partials keyed by lab's part —
-    # (lab, partial count) plus the rep-name row each batch contributes
-    # when it holds the member with hm == lab
+    # (lab, partial count) plus a NAME CARD per host keyed by the
+    # host's OWN hm (not its current label): any final label then
+    # resolves to its owner's name exactly like the oracle's
+    # ``JOIN l0 ON l0.lab = f.lab``, even when ``iters`` rounds stop
+    # short of the fixpoint (a member-with-hm==lab scan would emit ""
+    # there and diverge).  The card exchange is O(#hosts) — the same
+    # scale as the node table itself.
     def comp_partial(df: pd.DataFrame) -> pd.DataFrame:
         lab = df["lab"].to_numpy(np.uint64)
         g = (
@@ -1234,18 +1244,13 @@ def host_components(sf_dir: str, iters: int = COMPONENTS_ITERS,
             .sum()
         )
         g["host"] = pd.array([""] * len(g), dtype="string")
-        rep = df[df["hm"].to_numpy(np.uint64) == lab]
-        if len(rep):
-            g = pd.concat(
-                [g, pd.DataFrame(
-                    {"lab": rep["hm"].to_numpy(np.uint64),
-                     "n": np.int64(0),
-                     "host": pd.array(
-                         rep["host"].to_numpy(dtype=object),
-                         dtype="string")}
-                )],
-                ignore_index=True,
-            )
+        cards = pd.DataFrame(
+            {"lab": df["hm"].to_numpy(np.uint64),
+             "n": np.int64(0),
+             "host": pd.array(
+                 df["host"].to_numpy(dtype=object), dtype="string")}
+        )
+        g = pd.concat([g, cards], ignore_index=True)
         g["part"] = (
             g["lab"].to_numpy(np.uint64) % np.uint64(n_parts)
         ).astype(np.int64)
@@ -1253,8 +1258,9 @@ def host_components(sf_dir: str, iters: int = COMPONENTS_ITERS,
 
     def comp_reduce(g: pd.DataFrame) -> pd.DataFrame:
         sizes = g.groupby("lab", as_index=False)["n"].sum()
-        reps = g[g["host"].fillna("") != ""].drop_duplicates("lab")
-        f = sizes.merge(reps[["lab", "host"]], on="lab", how="left")
+        sizes = sizes[sizes["n"] > 0]  # drop card-only labels
+        names = g[g["host"].fillna("") != ""].drop_duplicates("lab")
+        f = sizes.merge(names[["lab", "host"]], on="lab", how="left")
         f = f.sort_values("lab")
         return pd.DataFrame(
             {"part": [int(g["part"].iloc[0])],

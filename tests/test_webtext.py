@@ -954,6 +954,84 @@ def test_host_components_matches_reference_bfs(ray_session):
     pd.testing.assert_frame_equal(out, out8)
 
 
+def test_host_components_exact_rounds_short_of_fixpoint(ray_session):
+    """Pinned exactly-``iters``-rounds semantics: with iters=2 on a
+    6-host chain (diameter 5) the engine must match an independent
+    Python recompute of two min-propagation rounds, INCLUDING labels
+    whose owner sits in a different partial group — every group still
+    gets its owner's name, never an empty representative (the SQL
+    oracle's l0-join property)."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import latyas_ray.ops.webtext as wt
+
+    chain = [f"c{i}.example" for i in range(6)]
+    rows = [
+        *[
+            (f"https://{chain[i]}/1",
+             f'<a href="https://{chain[i + 1]}/x">n</a>')
+            for i in range(5)
+        ],
+        ("https://c5.example/1", "end of chain: no links"),
+    ]
+    urls = [r[0] for r in rows]
+    htmls = [r[1].encode() for r in rows]
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(
+            pa.table({"url": urls, "html": htmls}),
+            os.path.join(td, "pages-00000.parquet"),
+        )
+        base = rd.read_parquet(os.path.join(td, "pages-00000.parquet"))
+        orig = wt._read_corpus
+        wt._read_corpus = lambda sf_dir, columns: base.select_columns(columns)
+        try:
+            out = (
+                wt.host_components(td, iters=2).to_pandas()
+                .sort_values("host").reset_index(drop=True)
+            )
+        finally:
+            wt._read_corpus = orig
+
+    # independent reference: two rounds of plain-dict min propagation
+    def m64(s: str) -> int:
+        return int.from_bytes(
+            hashlib.md5(s.encode()).digest()[8:], "little"
+        )
+
+    und = [(chain[i], chain[i + 1]) for i in range(5)]
+    und += [(b, a) for a, b in und]
+    lab = {h: m64(h) for h in chain}
+    owner = {m64(h): h for h in chain}
+    for _ in range(2):
+        nxt = dict(lab)
+        for a, b in und:
+            nxt[b] = min(nxt[b], lab[a])
+        lab = nxt
+    from collections import Counter
+
+    sizes = Counter(lab.values())
+    exp = (
+        pd.DataFrame(
+            {"host": chain,
+             "component_host": [owner[lab[h]] for h in chain],
+             "component_size": [sizes[lab[h]] for h in chain]}
+        )
+        .sort_values("host").reset_index(drop=True)
+    )
+    # two rounds cannot connect a 5-hop chain: must be >1 partial group
+    assert exp["component_host"].nunique() > 1
+    assert (out["component_host"] != "").all()
+    pd.testing.assert_frame_equal(
+        out.astype({"component_size": "int64"}), exp, check_dtype=False
+    )
+
+
 def test_tier_extraction_invariants(ray_session):
     """Capstone invariants at sf0.001: host_tier == -1 exactly for
     rejected documents, kept tiers land in {1..4}, keep agrees
