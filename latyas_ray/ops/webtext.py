@@ -1028,7 +1028,10 @@ def host_two_hop(sf_dir: str, n_parts: int = PAGERANK_PARTS) -> rd.Dataset:
             .groupby("a").size()
         )
         return pd.DataFrame(
-            {"host": host,
+            # 'string' dtype on the normal path too: Ray synthesizes
+            # 0-row blocks from THIS schema, and an object column there
+            # still trips the vectorize size estimator
+            {"host": pd.array(host, dtype="string"),
              "n_out_hosts": deg["outdeg"].to_numpy(np.int64),
              "n_two_hop": two.reindex(hm, fill_value=0)
              .to_numpy(np.int64),
@@ -1197,7 +1200,11 @@ def host_components(sf_dir: str, iters: int = COMPONENTS_ITERS,
             old = n["lab"].to_numpy(np.uint64)
             new = np.minimum(old, m)
             return pd.DataFrame(
-                {"host": n["host"].to_numpy(dtype=object),
+                # 'string' dtype: Ray synthesizes 0-row blocks from
+                # this schema (most parts are empty on small graphs)
+                # and object columns there trip its size estimator
+                {"host": pd.array(
+                    n["host"].to_numpy(dtype=object), dtype="string"),
                  "hm": n["hm"].to_numpy(np.uint64),
                  "part": n["part"].to_numpy(np.int64),
                  "lab": new,
@@ -1262,11 +1269,19 @@ def host_components(sf_dir: str, iters: int = COMPONENTS_ITERS,
         names = g[g["host"].fillna("") != ""].drop_duplicates("lab")
         f = sizes.merge(names[["lab", "host"]], on="lab", how="left")
         f = f.sort_values("lab")
+        # names pack as ONE newline-joined 'string' cell (hosts come
+        # from splitting urls, so they can never contain a newline):
+        # an object-array cell would give the whole column object
+        # dtype, and after convergence 63 of 64 parts emit 0-row
+        # blocks whose object column trips Ray's vectorize size
+        # estimator into per-block error logs
         return pd.DataFrame(
             {"part": [int(g["part"].iloc[0])],
              "lab": [f["lab"].to_numpy(np.uint64).tobytes()],
              "n": [f["n"].to_numpy(np.int64).tobytes()],
-             "host": [f["host"].fillna("").to_numpy(dtype=object)]}
+             "host": pd.array(
+                 ["\n".join(f["host"].fillna("").tolist())],
+                 dtype="string")}
         )
 
     comp_refs = _shard_refs(
@@ -1278,7 +1293,8 @@ def host_components(sf_dir: str, iters: int = COMPONENTS_ITERS,
         n_parts,
         lambda row: (np.frombuffer(row["lab"], dtype=np.uint64),
                      np.frombuffer(row["n"], dtype=np.int64),
-                     np.asarray(row["host"], dtype=object)),
+                     np.array(row["host"].split("\n"), dtype=object)
+                     if row["host"] else np.array([], dtype=object)),
     )
 
     # ---- stamp every host with its component's size + representative
@@ -1298,8 +1314,9 @@ def host_components(sf_dir: str, iters: int = COMPONENTS_ITERS,
             size[sel] = _sorted_lookup(keys, sizes, lab[sel])
             rep[sel] = _sorted_lookup(keys, hosts, lab[sel], default="")
         return pd.DataFrame(
-            {"host": df["host"].to_numpy(dtype=object),
-             "component_host": rep,
+            {"host": pd.array(
+                df["host"].to_numpy(dtype=object), dtype="string"),
+             "component_host": pd.array(rep, dtype="string"),
              "component_size": size}
         )
 
