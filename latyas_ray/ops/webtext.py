@@ -753,38 +753,20 @@ def host_pagerank(sf_dir: str, iters: int = PAGERANK_ITERS,
     ).materialize()
 
     def pack_ranks(g: pd.DataFrame) -> pd.DataFrame:
-        f = g.sort_values("hm")
-        return pd.DataFrame(
-            {"part": [int(f["part"].iloc[0])],
-             "hm": [f["hm"].to_numpy(np.uint64).tobytes()],
-             "r": [f["rank_micro"].to_numpy(np.int64).tobytes()]}
-        )
-
-    def unpack_ranks(row):
-        return (np.frombuffer(row["hm"], dtype=np.uint64),
-                np.frombuffer(row["r"], dtype=np.int64))
+        return _pack_kv(g, "rank_micro", np.int64)
 
     for _ in range(iters):
         rank_refs = _shard_refs(
             ranks.groupby("part").map_groups(
                 pack_ranks, batch_format="pandas"
             ),
-            n_parts, unpack_ranks,
+            n_parts, _unpack_kv(np.int64),
         )
 
         def contrib(df: pd.DataFrame, refs=rank_refs) -> pd.DataFrame:
-            import ray as _ray
-
             sm = df["sm"].to_numpy(np.uint64)
-            r = np.zeros(len(df), dtype=np.int64)
             parts = df["part"].to_numpy(np.int64)
-            for p in np.unique(parts):
-                ref = refs[int(p)]
-                if ref is None:
-                    continue
-                sel = parts == p
-                keys, vals = _ray.get(ref)
-                r[sel] = _sorted_lookup(keys, vals, sm[sel])
+            r = _sharded_value_lookup(sm, parts, refs, 0, np.int64)
             share = (
                 r * PAGERANK_DAMP_NUM // PAGERANK_DAMP_DEN
             ) // df["outdeg"].to_numpy(np.int64)
@@ -1140,42 +1122,23 @@ def host_components(sf_dir: str, iters: int = COMPONENTS_ITERS,
     ).materialize()
 
     def pack_labels(g: pd.DataFrame) -> pd.DataFrame:
-        f = g.sort_values("hm")
-        return pd.DataFrame(
-            {"part": [int(f["part"].iloc[0])],
-             "hm": [f["hm"].to_numpy(np.uint64).tobytes()],
-             "lab": [f["lab"].to_numpy(np.uint64).tobytes()]}
-        )
-
-    def unpack_labels(row):
-        return (np.frombuffer(row["hm"], dtype=np.uint64),
-                np.frombuffer(row["lab"], dtype=np.uint64))
+        return _pack_kv(g, "lab", np.uint64)
 
     for _ in range(iters):
         label_refs = _shard_refs(
             labels.groupby("part").map_groups(
                 pack_labels, batch_format="pandas"
             ),
-            n_parts, unpack_labels,
+            n_parts, _unpack_kv(np.uint64),
         )
 
         def contrib(df: pd.DataFrame, refs=label_refs) -> pd.DataFrame:
-            import ray as _ray
-
             sm = df["sm"].to_numpy(np.uint64)
-            lab = np.full(len(df), UMAX, dtype=np.uint64)
             parts = df["part"].to_numpy(np.int64)
-            for p in np.unique(parts):
-                ref = refs[int(p)]
-                if ref is None:
-                    continue
-                sel = parts == p
-                keys, vals = _ray.get(ref)
-                # every sm is a corpus host by edge construction, so
-                # the lookup always hits; UMAX would otherwise leak a
-                # fake "no contribution" into the min
-                lab[sel] = _sorted_lookup(keys, vals, sm[sel],
-                                          default=UMAX)
+            # every sm is a corpus host by edge construction, so the
+            # lookup always hits; a UMAX miss would otherwise leak a
+            # fake "no contribution" into the min
+            lab = _sharded_value_lookup(sm, parts, refs, UMAX, np.uint64)
             return (
                 pd.DataFrame(
                     {"part": df["dst_part"].to_numpy(np.int64),
@@ -1825,6 +1788,44 @@ def _sharded_isin(vals: np.ndarray, parts: np.ndarray, refs: list) -> np.ndarray
     return out
 
 
+def _pack_kv(g: pd.DataFrame, val_col: str, val_dtype) -> pd.DataFrame:
+    """One (part, key-blob, value-blob) row per partition — the packed
+    form the iterative host-graph tables (`host_pagerank` ranks,
+    `host_components` labels) travel in: parallel arrays sorted by the
+    uint64 ``hm`` key, ready for `_shard_refs` + searchsorted."""
+    f = g.sort_values("hm")
+    return pd.DataFrame(
+        {"part": [int(f["part"].iloc[0])],
+         "hm": [f["hm"].to_numpy(np.uint64).tobytes()],
+         "v": [f[val_col].to_numpy(val_dtype).tobytes()]}
+    )
+
+
+def _unpack_kv(val_dtype):
+    """Decoder for `_pack_kv` rows, parameterized by the value dtype."""
+    return lambda row: (np.frombuffer(row["hm"], dtype=np.uint64),
+                        np.frombuffer(row["v"], dtype=val_dtype))
+
+
+def _sharded_value_lookup(queries: np.ndarray, parts: np.ndarray,
+                          refs: list, default, dtype) -> np.ndarray:
+    """Value gather across `_shard_refs` slices — the value-carrying
+    sibling of `_sharded_isin`: fetch only the slices this batch
+    touches, searchsorted each."""
+    import ray
+
+    out = np.full(len(queries), default, dtype=dtype)
+    for p in np.unique(parts):
+        ref = refs[int(p)]
+        if ref is None:
+            continue
+        sel = parts == p
+        keys, vals = ray.get(ref)
+        out[sel] = _sorted_lookup(keys, vals, queries[sel],
+                                  default=default)
+    return out
+
+
 def _dup_span_pass1(df: pd.DataFrame, w: int, n_parts: int) -> pd.DataFrame:
     """Candidate pass shared by ``dup_span_census`` / ``dup_span_stats``:
     distinct (window-cheap-hash, doc) pairs packed per coarse partition
@@ -2126,14 +2127,7 @@ def dup_span_stats(sf_dir: str, w: int = DUP_SPAN_W,
         )
         upart = (pd.util.hash_array(uh) % n_parts).astype(np.int64)
         uh = uh.astype("S32")
-        nd = np.zeros(len(urls), dtype=np.int64)
-        for p in np.unique(upart):
-            ref = url_refs[int(p)]
-            if ref is None:
-                continue
-            keys, counts = ray.get(ref)
-            sel = upart == p
-            nd[sel] = _sorted_lookup(keys, counts, uh[sel])
+        nd = _sharded_value_lookup(uh, upart, url_refs, 0, np.int64)
         return pd.DataFrame(
             {"url": urls,
              "n_windows": n_windows.astype(np.int64),
@@ -2414,15 +2408,8 @@ def _curation_flags(df: pd.DataFrame, bl: dict, keeper_refs: list,
     )
     part = (pd.util.hash_array(md5s) % n_parts).astype(np.int64)
     own = _md5_lower_arr(urls.to_numpy(dtype=object))
-    keeper = np.zeros(len(t), dtype=np.uint64)
     m32 = md5s.astype("S32")
-    for p in np.unique(part):
-        ref = keeper_refs[int(p)]
-        if ref is None:
-            continue
-        keys, kn = ray.get(ref)
-        sel = part == p
-        keeper[sel] = _sorted_lookup(keys, kn, m32[sel])
+    keeper = _sharded_value_lookup(m32, part, keeper_refs, 0, np.uint64)
     keep_d = keeper == own
     keep = keep_url & keep_q & keep_d
     flags = {
@@ -2531,14 +2518,7 @@ def tier_extraction(sf_dir: str, n_parts: int = 64) -> rd.Dataset:
         )
         hm = _md5_lower_arr(host.to_numpy(dtype=object))
         hpart = (hm % n_parts).astype(np.int64)
-        tier = np.zeros(len(hm), dtype=np.int64)
-        for p in np.unique(hpart):
-            ref = tier_refs[int(p)]
-            if ref is None:
-                continue
-            sel = hpart == p
-            keys, vals = ray.get(ref)
-            tier[sel] = _sorted_lookup(keys, vals, hm[sel])
+        tier = _sharded_value_lookup(hm, hpart, tier_refs, 0, np.int64)
         host_tier = np.where(flags["keep"].astype(bool), tier, np.int64(-1))
         return pd.DataFrame(
             {"url": urls, "keep": flags["keep"], "host_tier": host_tier}
