@@ -273,6 +273,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # doc_fingerprints, whose rolling-hash map shape is a strict
         # subset of in-window dup_span_census's window pass)
         "host_components": _webtext.host_components,
+        # per-destination-host anchor-text rollup with a distributed
+        # mode/argmax (in-window: new this round, never driver-verified;
+        # displaces 2×-green simhash_neardup, whose banded-LSH
+        # bucket-and-verify shape stays in-window via minhash_dedup)
+        "anchor_text_stats": _webtext.anchor_text_stats,
         # round-4 stage-1 URL gate (in-window: never driver-verified; it
         # displaces 2-round-green embedding_neardup — the documented-weak
         # full-broadcast baseline whose scale path, in-window
@@ -304,10 +309,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _export.pack_sequences,
         # dedup family
         "minhash_dedup": _oracled("minhash_dedup", _dedup.minhash_dedup),
-        # simhash_neardup's SQL oracle is an all-pairs popcount self-join
-        # over the FINGERPRINT snapshot (genuinely independent of the
-        # banded-LSH path under test) — so it depends on that snapshot.
-        "simhash_neardup": _oracled("simhash_fingerprints", _dedup.simhash_neardup),
         "ngram_jaccard": _dedup.ngram_jaccard,
         # round-4 decontamination removal (in-window: never
         # driver-verified; displaces 3-round-green events_window_counts,
@@ -358,6 +359,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated out for host_components (2× green; rolling-hash map
         # shape subsumed by in-window dup_span_census's window pass)
         "doc_fingerprints": _oracled("doc_fingerprints", _textstats.doc_fingerprints),
+        # rotated out for anchor_text_stats (2× green; its banded-LSH
+        # bucket-and-verify shape stays in-window via minhash_dedup;
+        # its SQL oracle is an all-pairs popcount self-join over the
+        # FINGERPRINT snapshot, so it depends on that snapshot)
+        "simhash_neardup": _oracled("simhash_fingerprints", _dedup.simhash_neardup),
         # rotated out for host_pagerank (2× green; broadcast-join shape
         # covered in-window — see the displacement note at host_pagerank)
         "orders_by_nation": _relational.orders_by_nation,
@@ -816,6 +822,46 @@ def _host_components_sql() -> str:
         "JOIN sz s ON s.lab = f.lab"
     )
     return sql
+
+
+def _anchor_text_stats_sql() -> str:
+    """Independent recompute of ``anchor_text_stats``: the shared
+    decode/host CTEs, anchor PAIRS via two lockstep ``unnest``s of the
+    same generated pattern (groups 1 and 2 stay aligned), the same
+    qualifying-link rule inline, then plain GROUP BYs and a
+    row_number() mode with the pinned ``n DESC, atext ASC`` tie-break —
+    blind to the engine's distinct-pair partials and coarse dst-keyed
+    exchange."""
+    from latyas_ray.ops.webtext import ANCHOR_PAIR_RE
+
+    pat = ANCHOR_PAIR_RE.replace("'", "''")
+    th = "split_part(split_part(href, '://', 2), '/', 1)"
+    return (
+        "WITH d AS (SELECT url, CASE WHEN substr(hex(html), 1, 8) = "
+        "'25504446' THEN NULL ELSE decode(html) END AS h "
+        f"FROM read_parquet('{_webtext.corpus_glob(_GOLDEN_SF)}')), "
+        "p AS (SELECT split_part(split_part(url, '://', 2), '/', 1) "
+        "AS host, h FROM d), "
+        "hosts AS (SELECT DISTINCT host FROM p), "
+        "l AS (SELECT host AS src, "
+        f"unnest(regexp_extract_all(h, '{pat}', 1)) AS href, "
+        f"unnest(regexp_extract_all(h, '{pat}', 2)) AS atext "
+        "FROM p WHERE h IS NOT NULL), "
+        f"q AS (SELECT {th} AS dst, atext FROM l "
+        "WHERE (href LIKE 'http://%' OR href LIKE 'https://%') "
+        f"AND {th} <> src AND {th} IN (SELECT host FROM hosts)), "
+        "c AS (SELECT dst, atext, CAST(count(*) AS BIGINT) AS n "
+        "FROM q GROUP BY dst, atext), "
+        "a AS (SELECT dst, CAST(sum(n) AS BIGINT) AS n_anchor_refs, "
+        "CAST(count(*) AS BIGINT) AS n_distinct_anchor_texts "
+        "FROM c GROUP BY dst), "
+        "t AS (SELECT dst, atext, n, row_number() OVER ("
+        "PARTITION BY dst ORDER BY n DESC, atext ASC) AS rk FROM c) "
+        "SELECT a.dst AS host, a.n_anchor_refs, "
+        "a.n_distinct_anchor_texts, t.atext AS top_anchor_text, "
+        "t.n AS top_anchor_count "
+        "FROM a JOIN t ON t.dst = a.dst AND t.rk = 1"
+    )
 
 
 def _url_filter_sql() -> str:
@@ -1301,6 +1347,7 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _host_pagerank_sql(),
         "host_two_hop": _host_two_hop_sql(),
         "host_components": _host_components_sql(),
+        "anchor_text_stats": _anchor_text_stats_sql(),
         # training-export ops: md5_number_lower(url) is the pinned
         # shard/partition identity (≡ int.from_bytes(md5[8:], 'little'),
         # tests/test_export.py); checksum is the order-independent

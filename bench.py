@@ -206,6 +206,7 @@ def run_bench() -> dict:
     op_fns["host_pagerank"] = webtext.host_pagerank
     op_fns["host_two_hop"] = webtext.host_two_hop
     op_fns["host_components"] = webtext.host_components
+    op_fns["anchor_text_stats"] = webtext.anchor_text_stats
     op_fns["tier_extraction"] = webtext.tier_extraction
     op_fns["curation_pipeline"] = webtext.curation_pipeline
     op_fns["quality_funnel"] = webtext.quality_funnel

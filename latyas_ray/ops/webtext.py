@@ -460,6 +460,27 @@ def url_filter(sf_dir: str) -> rd.Dataset:
 OUTLINK_HREF_RE = r'href="([^"]*)"'
 _OUTLINK_PAT = _re.compile(OUTLINK_HREF_RE)
 
+# Anchor PAIR extraction for `anchor_text_stats`: group 1 the href,
+# group 2 the inner text up to the first tag (the pinned approximation
+# for nested markup — identical on both sides since the SQL oracle is
+# generated from this constant).  RE2-safe.
+ANCHOR_PAIR_RE = r'<a href="([^"]*)"[^>]*>([^<]*)</a>'
+_ANCHOR_PAT = _re.compile(ANCHOR_PAIR_RE)
+
+
+def _decode_html(payloads) -> list:
+    """The html channel decode every link op shares: PDF payloads
+    (leading %PDF magic) and nulls map to None, everything else decodes
+    utf-8 with errors='replace' (total on dirty crawls; exact on the
+    corpus, whose non-PDF payloads are pinned valid utf-8)."""
+    texts = []
+    for h in payloads:
+        if h is None or bytes(h[:4]) == b"%PDF":
+            texts.append(None)
+        else:
+            texts.append(bytes(h).decode("utf-8", errors="replace"))
+    return texts
+
 
 def outlink_stats(sf_dir: str) -> rd.Dataset:
     """Per-host outlink rollup over the html channel: (host, n_pages,
@@ -481,12 +502,7 @@ def outlink_stats(sf_dir: str) -> rd.Dataset:
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         urls = df["url"].reset_index(drop=True)
         host, _ = _host_section(urls)
-        texts = []
-        for h in df["html"]:
-            if h is None or bytes(h[:4]) == b"%PDF":
-                texts.append(None)
-            else:
-                texts.append(bytes(h).decode("utf-8", errors="replace"))
+        texts = _decode_html(df["html"])
         is_html = pd.Series([t is not None for t in texts])
         pages = pd.DataFrame(
             {"host": host, "href": "", "kind": np.int64(0),
@@ -633,12 +649,7 @@ def _host_edges(ds: rd.Dataset, node_refs: list, n_parts: int) -> rd.Dataset:
         )
         urls = df["url"].reset_index(drop=True)
         host, _ = _host_section(urls)
-        texts = []
-        for h in df["html"]:
-            if h is None or bytes(h[:4]) == b"%PDF":
-                texts.append(None)
-            else:
-                texts.append(bytes(h).decode("utf-8", errors="replace"))
+        texts = _decode_html(df["html"])
         hrefs = [
             _OUTLINK_PAT.findall(t) if t is not None else [] for t in texts
         ]
@@ -1285,6 +1296,117 @@ def host_components(sf_dir: str, iters: int = COMPONENTS_ITERS,
 
     return labels.map_batches(
         stamp, batch_format="pandas", batch_size=4096
+    )
+
+
+# ---------------------------------------------------- anchor_text_stats
+
+
+def anchor_text_stats(sf_dir: str, n_parts: int = PAGERANK_PARTS) -> rd.Dataset:
+    """Per-DESTINATION-host anchor-text rollup — the signal anchor-text
+    corpora and query-independent relevance features are built from.
+    Anchors qualify under the SAME external-link rule as the host-graph
+    edge builders (scheme-absolute, target host ≠ source host, target a
+    corpus host), but are occurrence-weighted: every qualifying anchor
+    counts, no (src, dst) dedup — repetition IS the signal here.  Per
+    host: (host, n_anchor_refs, n_distinct_anchor_texts,
+    top_anchor_text, top_anchor_count) with the mode's ties broken to
+    the lexicographically smallest text (pinned, shared with the SQL
+    oracle's ``ORDER BY n DESC, atext ASC`` row_number).
+
+    Scale shape: one pruned (url, html) scan; per-batch partial counts
+    over DISTINCT (dst, text) pairs — the exchange is bounded by the
+    distinct pair space, never raw anchor occurrences — keyed by the
+    dst's md5 part, then ONE coarse exchange; each partition owns every
+    row of its hosts, so totals, distinct-text counts and the
+    argmax/tie-break are exact in-part C groupbys.  Nothing
+    corpus-proportional lands in one task or on the driver."""
+    ds = _read_corpus(sf_dir, ["url", "html"])
+    ds_urls = _read_corpus(sf_dir, ["url"])
+    _, node_refs = _host_nodes(ds_urls, n_parts)
+    from .export import _md5_lower_arr
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"part": pd.Series(dtype="int64"),
+             "dst": pd.Series(dtype="string"),
+             "text": pd.Series(dtype="string"),
+             "n": pd.Series(dtype="int64")}
+        )
+        urls = df["url"].reset_index(drop=True)
+        host, _ = _host_section(urls)
+        texts = _decode_html(df["html"])
+        pairs = [
+            _ANCHOR_PAT.findall(t) if t is not None else [] for t in texts
+        ]
+        lens = np.fromiter((len(x) for x in pairs), dtype=np.int64,
+                           count=len(pairs))
+        if lens.sum() == 0:
+            return empty
+        flat_href = pd.Series(
+            [h for row in pairs for h, _ in row], dtype=object
+        )
+        flat_text = np.array(
+            [a for row in pairs for _, a in row], dtype=object
+        )
+        src = host.to_numpy()[np.repeat(np.arange(len(pairs)), lens)]
+        dst, _ = _host_section(flat_href)
+        dst = dst.to_numpy(dtype=object)
+        ext = (
+            flat_href.str.startswith(("http://", "https://")).to_numpy()
+            & (dst != src)
+        )
+        if not ext.any():
+            return empty
+        dm = _md5_lower_arr(dst[ext])
+        keep = _sharded_isin(dm, (dm % n_parts).astype(np.int64), node_refs)
+        if not keep.any():
+            return empty
+        g = (
+            pd.DataFrame(
+                {"dst": dst[ext][keep], "text": flat_text[ext][keep],
+                 "n": np.int64(1),
+                 "part": (dm[keep] % n_parts).astype(np.int64)}
+            )
+            .groupby(["part", "dst", "text"], as_index=False)
+            .sum()
+        )
+        g["dst"] = pd.array(g["dst"], dtype="string")
+        g["text"] = pd.array(g["text"], dtype="string")
+        return g[["part", "dst", "text", "n"]]
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["dst", "text"], as_index=False)["n"].sum()
+        m = m.sort_values(
+            ["dst", "n", "text"], ascending=[True, False, True]
+        )
+        top = m.drop_duplicates("dst")
+        agg = m.groupby("dst", as_index=False).agg(
+            n_anchor_refs=("n", "sum"),
+            n_distinct_anchor_texts=("text", "count"),
+        )
+        f = agg.merge(
+            top.rename(
+                columns={"text": "top_anchor_text",
+                         "n": "top_anchor_count"}
+            ),
+            on="dst",
+        )
+        return pd.DataFrame(
+            {"host": pd.array(f["dst"], dtype="string"),
+             "n_anchor_refs": f["n_anchor_refs"].to_numpy(np.int64),
+             "n_distinct_anchor_texts":
+                 f["n_distinct_anchor_texts"].to_numpy(np.int64),
+             "top_anchor_text": pd.array(
+                 f["top_anchor_text"], dtype="string"),
+             "top_anchor_count":
+                 f["top_anchor_count"].to_numpy(np.int64)}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=2048)
+        .groupby("part")
+        .map_groups(reduce, batch_format="pandas")
     )
 
 

@@ -1032,6 +1032,94 @@ def test_host_components_exact_rounds_short_of_fixpoint(ray_session):
     )
 
 
+def test_anchor_text_stats_matches_reference_loop(ray_session):
+    """Engine vs an independent dict-and-Counter loop on a crafted
+    graph: occurrence weighting (no (src, dst) dedup), relative and
+    same-host anchors dropped, non-corpus targets dropped, PDF payloads
+    contribute nothing, and the mode tie-break goes to the
+    lexicographically smallest text."""
+    import os
+    import tempfile
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import latyas_ray.ops.webtext as wt
+
+    rows = [
+        ("https://a.example/1",
+         '<a href="https://b.example/p">x</a>'
+         '<a href="https://b.example/q">x</a>'
+         '<a href="https://b.example/r">y</a>'
+         '<a href="https://c.example/s">m</a>'
+         '<a href="https://offsite.example/z">drop-nonnode</a>'
+         '<a href="https://a.example/self">drop-samehost</a>'
+         '<a href="/rel">drop-relative</a>'),
+        ("https://b.example/1",
+         '<a href="https://a.example/h">z</a>'
+         '<a href="https://c.example/t">k</a>'),
+        ("https://c.example/1", "no links"),
+        ("https://d.example/1", None),  # PDF payload
+    ]
+    urls = [r[0] for r in rows]
+    htmls = [(r[1].encode() if r[1] else b"%PDF-1.4 fake") for r in rows]
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(
+            pa.table({"url": urls, "html": htmls}),
+            os.path.join(td, "pages-00000.parquet"),
+        )
+        base = rd.read_parquet(os.path.join(td, "pages-00000.parquet"))
+        orig = wt._read_corpus
+        wt._read_corpus = lambda sf_dir, columns: base.select_columns(columns)
+        try:
+            out = (
+                wt.anchor_text_stats(td).to_pandas()
+                .sort_values("host").reset_index(drop=True)
+            )
+            out8 = (
+                wt.anchor_text_stats(td, n_parts=8).to_pandas()
+                .sort_values("host").reset_index(drop=True)
+            )
+        finally:
+            wt._read_corpus = orig
+
+    # independent reference: Counter per destination host
+    anchors = {
+        "a.example": [("b.example", "x"), ("b.example", "x"),
+                      ("b.example", "y"), ("c.example", "m")],
+        "b.example": [("a.example", "z"), ("c.example", "k")],
+    }
+    per_dst: dict = {}
+    for src, lst in anchors.items():
+        for dst, text in lst:
+            per_dst.setdefault(dst, Counter())[text] += 1
+    exp_rows = []
+    for dst in sorted(per_dst):
+        c = per_dst[dst]
+        top = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        exp_rows.append(
+            (dst, sum(c.values()), len(c), top[0], top[1])
+        )
+    exp = pd.DataFrame(
+        exp_rows,
+        columns=["host", "n_anchor_refs", "n_distinct_anchor_texts",
+                 "top_anchor_text", "top_anchor_count"],
+    )
+    got = out.astype(
+        {"host": object, "n_anchor_refs": "int64",
+         "n_distinct_anchor_texts": "int64", "top_anchor_text": object,
+         "top_anchor_count": "int64"}
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    pd.testing.assert_frame_equal(out, out8)
+    # the engineered tie: c receives "m" and "k" once each -> "k" wins
+    m = got.set_index("host")
+    assert m.loc["c.example", "top_anchor_text"] == "k"
+    assert int(m.loc["c.example", "top_anchor_count"]) == 1
+
+
 def test_tier_extraction_invariants(ray_session):
     """Capstone invariants at sf0.001: host_tier == -1 exactly for
     rejected documents, kept tiers land in {1..4}, keep agrees
