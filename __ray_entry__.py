@@ -364,6 +364,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # its SQL oracle is an all-pairs popcount self-join over the
         # FINGERPRINT snapshot, so it depends on that snapshot)
         "simhash_neardup": _oracled("simhash_fingerprints", _dedup.simhash_neardup),
+        # tail from birth: the pointer-doubling scale variant of
+        # in-window host_components — same output and same oracle at
+        # the fixpoint, O(log diameter) rounds instead of diameter
+        "host_components_fast": _webtext.host_components_fast,
         # rotated out for host_pagerank (2× green; broadcast-join shape
         # covered in-window — see the displacement note at host_pagerank)
         "orders_by_nation": _relational.orders_by_nation,
@@ -1348,6 +1352,10 @@ def oracle_sql() -> dict[str, str]:
         "host_two_hop": _host_two_hop_sql(),
         "host_components": _host_components_sql(),
         "anchor_text_stats": _anchor_text_stats_sql(),
+        # the doubling variant shares host_components' oracle: the
+        # engine raises unless it PROVES the fixpoint, where the two
+        # recurrences coincide
+        "host_components_fast": _host_components_sql(),
         # training-export ops: md5_number_lower(url) is the pinned
         # shard/partition identity (≡ int.from_bytes(md5[8:], 'little'),
         # tests/test_export.py); checksum is the order-independent

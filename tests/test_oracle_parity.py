@@ -100,7 +100,7 @@ OPS_QUERIES = [
     "curation_pipeline", "contamination_scrub", "dsir_resample",
     "token_budget_mix", "domain_mixture", "host_pagerank",
     "host_two_hop", "tier_extraction", "host_components",
-    "anchor_text_stats",
+    "anchor_text_stats", "host_components_fast",
 ]
 
 

@@ -1032,6 +1032,61 @@ def test_host_components_exact_rounds_short_of_fixpoint(ray_session):
     )
 
 
+def test_host_components_doubling_converges_faster(ray_session):
+    """The pointer-doubling variant on the 6-host chain: proves the
+    fixpoint in 5 rounds where plain propagation needs 6 (5 change
+    rounds + the observe round), produces the identical component
+    table, and raises below its convergence point instead of emitting
+    a partial result (the doubling recurrence has no SQL form short of
+    the fixpoint)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+    import ray.data as rd
+
+    import latyas_ray.ops.webtext as wt
+
+    chain = [f"c{i}.example" for i in range(6)]
+    rows = [
+        *[
+            (f"https://{chain[i]}/1",
+             f'<a href="https://{chain[i + 1]}/x">n</a>')
+            for i in range(5)
+        ],
+        ("https://c5.example/1", "end of chain: no links"),
+    ]
+    urls = [r[0] for r in rows]
+    htmls = [r[1].encode() for r in rows]
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(
+            pa.table({"url": urls, "html": htmls}),
+            os.path.join(td, "pages-00000.parquet"),
+        )
+        base = rd.read_parquet(os.path.join(td, "pages-00000.parquet"))
+        orig = wt._read_corpus
+        wt._read_corpus = lambda sf_dir, columns: base.select_columns(columns)
+        try:
+            with pytest.raises(RuntimeError, match="fixpoint"):
+                wt.host_components_fast(td, iters=4)
+            fast = (
+                wt.host_components_fast(td, iters=5).to_pandas()
+                .sort_values("host").reset_index(drop=True)
+            )
+            plain = (
+                wt.host_components(td).to_pandas()
+                .sort_values("host").reset_index(drop=True)
+            )
+        finally:
+            wt._read_corpus = orig
+
+    pd.testing.assert_frame_equal(fast, plain)
+    assert fast["component_host"].nunique() == 1
+    assert (fast["component_size"] == 6).all()
+
+
 def test_anchor_text_stats_matches_reference_loop(ray_session):
     """Engine vs an independent dict-and-Counter loop on a crafted
     graph: occurrence weighting (no (src, dst) dedup), relative and
