@@ -364,9 +364,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # its SQL oracle is an all-pairs popcount self-join over the
         # FINGERPRINT snapshot, so it depends on that snapshot)
         "simhash_neardup": _oracled("simhash_fingerprints", _dedup.simhash_neardup),
-        # tail from birth: the pointer-doubling scale variant of
-        # in-window host_components — same output and same oracle at
-        # the fixpoint, O(log diameter) rounds instead of diameter
+        # tail from birth: the pointer-jump variant of in-window
+        # host_components — same output at the fixpoint, a measured
+        # 2.25-3.4× round reduction (constant-factor, not logarithmic)
         "host_components_fast": _webtext.host_components_fast,
         # rotated out for host_pagerank (2× green; broadcast-join shape
         # covered in-window — see the displacement note at host_pagerank)
@@ -800,24 +800,36 @@ def _host_components_sql() -> str:
     compare."""
     from latyas_ray.ops.webtext import COMPONENTS_ITERS
 
-    # each round references the previous label table exactly ONCE —
-    # DuckDB inlines multiply-referenced CTEs, so the natural
-    # least(own, min-over-neighbors) double reference would re-expand
-    # the whole edge extraction 2^ITERS times.  A self-loop per host
-    # folds the own-label term into the same min.
+    return _host_components_sql_rounds(COMPONENTS_ITERS)
+
+
+def _host_components_sql_rounds(rounds: int) -> str:
+    """The generated plain-propagation chain with an explicit round
+    count: `_host_components_sql` passes the engine's COMPONENTS_ITERS
+    (exact-round parity at ANY convergence state); the fast variant's
+    oracle passes FAST_ORACLE_UNROLL, since the hop recurrence only
+    matches plain at the fixpoint and plain may need more rounds than
+    the engine's proof took (extra rounds are idempotent)."""
+    # MATERIALIZED is load-bearing: DuckDB's default inlining
+    # re-expands the (ue, l_{k-1}) references per level — the 10-round
+    # chain took 12.6 s and a 40-round chain did not finish in 500 s;
+    # materialized, 40 rounds run in under a second.  The self-loop
+    # per host folds the own-label term into the same min so each
+    # round references its predecessor exactly once even inlined.
     sql = (
         _host_edges_ctes()
-        + ", ue AS (SELECT src AS a, dst AS b FROM e "
+        + ", ue AS MATERIALIZED (SELECT src AS a, dst AS b FROM e "
         "UNION ALL SELECT dst AS a, src AS b FROM e "
         "UNION ALL SELECT host AS a, host AS b FROM hosts), "
         "l0 AS (SELECT host, md5_number_lower(host) AS lab FROM hosts)"
     )
-    for k in range(1, COMPONENTS_ITERS + 1):
+    for k in range(1, rounds + 1):
         sql += (
-            f", l{k} AS (SELECT ue.b AS host, min(l.lab) AS lab "
+            f", l{k} AS MATERIALIZED (SELECT ue.b AS host, "
+            f"min(l.lab) AS lab "
             f"FROM ue JOIN l{k - 1} l ON l.host = ue.a GROUP BY ue.b)"
         )
-    lf = f"l{COMPONENTS_ITERS}"
+    lf = f"l{rounds}"
     sql += (
         f", sz AS (SELECT lab, CAST(count(*) AS BIGINT) "
         f"AS component_size FROM {lf} GROUP BY lab) "
@@ -1352,10 +1364,13 @@ def oracle_sql() -> dict[str, str]:
         "host_two_hop": _host_two_hop_sql(),
         "host_components": _host_components_sql(),
         "anchor_text_stats": _anchor_text_stats_sql(),
-        # the doubling variant shares host_components' oracle: the
-        # engine raises unless it PROVES the fixpoint, where the two
-        # recurrences coincide
-        "host_components_fast": _host_components_sql(),
+        # the hop variant's oracle is the SAME plain chain unrolled to
+        # FAST_ORACLE_UNROLL rounds: the engine raises unless it PROVES
+        # the fixpoint, where the two recurrences coincide — but plain
+        # may need more rounds than the hop proof took to get there
+        "host_components_fast": _host_components_sql_rounds(
+            _webtext.FAST_ORACLE_UNROLL
+        ),
         # training-export ops: md5_number_lower(url) is the pinned
         # shard/partition identity (≡ int.from_bytes(md5[8:], 'little'),
         # tests/test_export.py); checksum is the order-independent

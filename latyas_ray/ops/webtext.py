@@ -1071,15 +1071,22 @@ def host_components(sf_dir: str, iters: int = COMPONENTS_ITERS,
     ``label(v) = min(label(v), min over undirected neighbors u of
     label_prev(u))``; exactly ``iters`` rounds.  Plain propagation
     needs diameter-many rounds — fine for host graphs (small-world).
-    ``doubling=True`` (the `host_components_fast` entry point) adds
-    the paper's pointer-jump to every round — after the neighbor min,
+    ``doubling=True`` (the `host_components_fast` entry point) adds a
+    pointer-jump to every round — after the neighbor min,
     ``label(v) = min(label(v), label_prev(label(v)))``, one extra
-    sharded lookup against the SAME round's label table (the label
-    table IS the pointer table: every label is some host's hm) — and
-    converges in O(log diameter) rounds for adversarial diameters.
-    The doubling recurrence matches the SQL oracle only AT the
-    fixpoint, so that path raises if ``iters`` rounds don't converge
-    (plain mode stays oracle-identical at any round count).
+    sharded lookup against the previous round's label table (the
+    label table IS the pointer table: every label is some host's hm).
+    Measured effect on random md5 labels: a CONSTANT-FACTOR round
+    reduction that grows slowly with diameter (2.25× at a 100-host
+    chain, 3.4× at 4,000 — simulated with the exact recurrence), NOT
+    O(log d): the jump target's knowledge horizon mostly overlaps the
+    jumper's, so reach grows additively.  True logarithmic behavior
+    needs star-contraction algorithms that rewrite the EDGE set
+    (Kiveris et al.'s large-star/small-star), out of scope for this
+    static-edge skeleton.  The hop recurrence matches the SQL oracle
+    only AT the fixpoint, so that path raises if ``iters`` rounds
+    can't prove convergence (plain mode stays oracle-identical at any
+    round count).
 
     Scale shape — the same iterative skeleton as `host_pagerank`:
 
@@ -1325,19 +1332,29 @@ def host_components(sf_dir: str, iters: int = COMPONENTS_ITERS,
     )
 
 
+# The fast variant's oracle unrolls MORE plain rounds than the engine's
+# iteration cap: the engine only proves the HOP recurrence's fixpoint
+# within `iters`, and plain propagation can need up to ~3× as many
+# rounds to reach the same fixpoint (measured over 4-60-host chains ×
+# 40 md5 draws: hop proof ≤ 10 ⇒ plain fixpoint ≤ 28; 40 leaves 1.4×
+# margin, and extra rounds past the fixpoint are idempotent).
+FAST_ORACLE_UNROLL = 40
+
+
 def host_components_fast(sf_dir: str, iters: int = COMPONENTS_ITERS,
                          n_parts: int = PAGERANK_PARTS) -> rd.Dataset:
-    """Pointer-doubling connected components — `host_components` with
-    the per-round pointer jump (Rastogi et al.'s doubling step): after
-    the neighbor min, ``label(v) = min(label(v),
+    """Pointer-jump connected components — `host_components` with the
+    per-round hop: after the neighbor min, ``label(v) = min(label(v),
     label_prev(label(v)))`` via one extra sharded lookup against the
-    round's label table.  Converges in O(log diameter) rounds instead
-    of diameter — the adversarial-diameter scale path (a crawl with a
-    10⁶-host link chain finishes in ~20 rounds instead of 10⁶).  Same
-    output and same SQL oracle at the fixpoint; raises if ``iters``
-    rounds cannot PROVE convergence (the observe-no-change round
-    included), because short of the fixpoint the doubling recurrence
-    has no cheap SQL form."""
+    round's label table.  A measured constant-factor round reduction
+    (2.25×–3.4× over 100–4,000-host chains with random md5 labels; see
+    `host_components` for why it is NOT logarithmic).  Same output and
+    the same GENERATED oracle at the fixpoint — unrolled to
+    `FAST_ORACLE_UNROLL` plain rounds, since proving the hop fixpoint
+    within ``iters`` does not bound plain convergence by ``iters`` —
+    and raises if ``iters`` rounds cannot PROVE convergence (the
+    observe-no-change round included), because short of the fixpoint
+    the hop recurrence has no cheap SQL form."""
     return host_components(sf_dir, iters=iters, n_parts=n_parts,
                            doubling=True)
 
