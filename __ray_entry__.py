@@ -216,8 +216,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (stubbed decode, real Ray stages) — green
         # r2, dropped out of the window in r3
         "media_features": _q_media_features,
-        "media_resize": _q_media_resize,
-        "video_frame_features": _q_video_frames,
         # the round's namesake capstone: curation gate × host-authority
         # tier (in-window: new this round, never driver-verified;
         # displaces 3×-green doc_stats_by_lang, whose partial-agg
@@ -228,7 +226,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-doc tokenization shape stays in-window via quality_funnel
         # and doc_stats_by_lang)
         "token_budget_mix": _oracled("lm_perplexity", _lm.token_budget_mix),
-        "lang_id": _oracled("lang_id", _textstats.lang_id),
         # CCNet-style LM scoring + tiering (new this round — in-window;
         # they displace 3-round-green chars_percentiles_by_lang, whose
         # exact-percentile shape ccnet_tiers itself exercises, and
@@ -243,7 +240,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": _oracled("dsir_weights", _lm.dsir_weights),
         # web-corpus curation over the CC-shaped pages table (independent
         # DuckDB SQL oracles over the same parquet shards)
-        "latest_snapshot": _webtext.latest_snapshot,
         "domain_stats": _webtext.domain_stats,
         # round-4 alpha-sampling mixture plan (in-window: never
         # driver-verified; displaces 2-round-green quality_filter, whose
@@ -273,6 +269,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # doc_fingerprints, whose rolling-hash map shape is a strict
         # subset of in-window dup_span_census's window pass)
         "host_components": _webtext.host_components,
+        # pointer-jump variant of host_components — same fixpoint output,
+        # a measured 2.25-3.4× round reduction (constant-factor, not
+        # logarithmic).  In-window: VERDICT r4 #4 — the ONE query that
+        # had never had a driver CORRECTNESS row (tail from birth);
+        # displaces its own shape-sibling slot (see the tail rotations
+        # at the joined-mode block above).
+        "host_components_fast": _webtext.host_components_fast,
         # per-destination-host anchor-text rollup with a distributed
         # mode/argmax (in-window: new this round, never driver-verified;
         # displaces 2×-green simhash_neardup, whose banded-LSH
@@ -284,9 +287,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embedding_neardup_ivf, computes the same pair set)
         "url_filter": _webtext.url_filter,
         "pii_scrub": _webtext.pii_scrub,
-        "line_repetition": _webtext.line_repetition,
         "line_dedup": _webtext.line_dedup,
         "boilerplate_strip": _webtext.boilerplate_strip,
+        # round-5 co-partitioned (joined) membership modes — VERDICT r4
+        # #1's 100-TB blocker fix.  Each is the SAME op under the SAME
+        # SQL oracle with mode="joined": the candidate/removal/keeper
+        # set never broadcasts, probes cogroup with their one part
+        # slice, verdicts cogroup back with the documents by url part.
+        # In-window: never driver-verified (new this round); they
+        # displace media_resize + video_frame_features (2×-green; their
+        # actor-pool stub-decode shape stays in-window via
+        # media_features), lang_id (3×-green; map-only per-doc heuristic
+        # shape stays via gopher_quality / c4_quality), latest_snapshot
+        # (2×-green; partial-argmax rollup shape stays via domain_stats)
+        # and line_repetition (2×-green; map-only line shape stays via
+        # c4_quality).
+        "boilerplate_strip_joined": _q_boilerplate_strip_joined,
+        "curation_pipeline_joined": _q_curation_pipeline_joined,
+        "dup_span_stats_joined": _q_dup_span_stats_joined,
+        "dup_span_removal_joined": _q_dup_span_removal_joined,
         "gopher_quality": _webtext.gopher_quality,
         "gopher_repetition": _webtext.gopher_repetition,
         "c4_quality": _webtext.c4_quality,
@@ -364,10 +383,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # its SQL oracle is an all-pairs popcount self-join over the
         # FINGERPRINT snapshot, so it depends on that snapshot)
         "simhash_neardup": _oracled("simhash_fingerprints", _dedup.simhash_neardup),
-        # tail from birth: the pointer-jump variant of in-window
-        # host_components — same output at the fixpoint, a measured
-        # 2.25-3.4× round reduction (constant-factor, not logarithmic)
-        "host_components_fast": _webtext.host_components_fast,
+        # rotated out for the round-5 joined-mode block (all ≥2× green;
+        # shapes redundant with in-window queries — media_resize /
+        # video_frame_features' actor-pool stub-decode ≡ in-window
+        # media_features, lang_id's map-only per-doc heuristic ≡
+        # gopher_quality / c4_quality, latest_snapshot's partial-argmax
+        # rollup ≡ domain_stats, line_repetition's map-only line shape ≡
+        # c4_quality)
+        "media_resize": _q_media_resize,
+        "video_frame_features": _q_video_frames,
+        "lang_id": _oracled("lang_id", _textstats.lang_id),
+        "latest_snapshot": _webtext.latest_snapshot,
+        "line_repetition": _webtext.line_repetition,
         # rotated out for host_pagerank (2× green; broadcast-join shape
         # covered in-window — see the displacement note at host_pagerank)
         "orders_by_nation": _relational.orders_by_nation,
@@ -397,6 +424,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_suppliers_by_revenue": _relational.top_suppliers_by_revenue,
         "customers_by_region": _relational.customers_by_region,
     }
+
+
+def _q_boilerplate_strip_joined(sf_dir: str):
+    """boilerplate_strip under the co-partitioned membership mode
+    (VERDICT r4 #1): identical rows and oracle, zero broadcast."""
+    return _webtext.boilerplate_strip(sf_dir, mode="joined")
+
+
+def _q_curation_pipeline_joined(sf_dir: str):
+    """curation_pipeline with the keeper election co-partitioned."""
+    return _webtext.curation_pipeline(sf_dir, mode="joined")
+
+
+def _q_dup_span_stats_joined(sf_dir: str):
+    """dup_span_stats with candidates + per-url counts co-partitioned."""
+    return _webtext.dup_span_stats(sf_dir, mode="joined")
+
+
+def _q_dup_span_removal_joined(sf_dir: str):
+    """dup_span_removal with candidates + removal set co-partitioned."""
+    return _webtext.dup_span_removal(sf_dir, mode="joined")
 
 
 def _q_texmix(sf_dir: str):
@@ -1358,6 +1406,11 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_census": _dup_span_sql(),
         "dup_span_stats": _dup_span_stats_sql(),
         "dup_span_removal": _dup_span_removal_sql(),
+        # joined-mode variants: the SAME op semantics under the SAME
+        # independent SQL — only the engine's membership transport
+        # differs (co-partitioned cogroups instead of sharded broadcast)
+        "dup_span_stats_joined": _dup_span_stats_sql(),
+        "dup_span_removal_joined": _dup_span_removal_sql(),
         "url_filter": _url_filter_sql(),
         "outlink_stats": _outlink_stats_sql(),
         "host_pagerank": _host_pagerank_sql(),
@@ -1572,6 +1625,10 @@ def oracle_sql() -> dict[str, str]:
         "AS shard "
         "FROM uf JOIN fun USING (url) JOIN ded USING (url)"
     )
+    # joined-mode variants share their base op's oracle verbatim — the
+    # semantics are identical, only the membership transport differs
+    oracles["boilerplate_strip_joined"] = oracles["boilerplate_strip"]
+    oracles["curation_pipeline_joined"] = oracles["curation_pipeline"]
     # tier_extraction: the curation composite joined to an authority
     # tier derived from the pagerank CTE chain — thresholds generated
     # from the op's own constants; the mean is one integer aggregate

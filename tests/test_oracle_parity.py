@@ -101,6 +101,10 @@ OPS_QUERIES = [
     "token_budget_mix", "domain_mixture", "host_pagerank",
     "host_two_hop", "tier_extraction", "host_components",
     "anchor_text_stats", "host_components_fast",
+    # round-5 co-partitioned membership modes (same oracles as the
+    # broadcast-mode base ops)
+    "boilerplate_strip_joined", "curation_pipeline_joined",
+    "dup_span_stats_joined", "dup_span_removal_joined",
 ]
 
 
