@@ -1315,3 +1315,221 @@ def test_joined_mode_never_builds_broadcast_refs(ray_session, monkeypatch):
     # keeper = lexicographic-min url of the identical-text group
     assert cur.loc["https://c.example/1", "keep_dedup"] == 1
     assert cur.loc["https://c.example/2", "keep_dedup"] == 0
+
+
+def test_host_two_hop_hub_salting(ray_session):
+    """Adversarial hub family (VERDICT r4 #2): one hub intermediate with
+    indeg·outdeg ≫ the cell cap.  With ``cell_cap`` lowered so the grid
+    activates (r > 1), the result must be IDENTICAL to the unsalted
+    plan and to an independent set-based loop — salting only changes
+    partitioning.  Also pins the grid math: r = ceil(sqrt(prod/cap))
+    bounds per-cell join output at ~cap, and the r table is sparse
+    (hub only)."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    import latyas_ray.ops.webtext as wt
+
+    n_in, n_out = 20, 15  # product 300 >> cap 16
+    rows = []
+    # a0..a19 -> hub (every a also links one sibling to stay non-trivial)
+    for i in range(n_in):
+        rows.append((
+            f"https://a{i}.example/1",
+            f'<a href="https://hub.example/x">h</a>'
+            f'<a href="https://a{(i + 1) % n_in}.example/y">s</a>',
+        ))
+    # hub -> b0..b14
+    hub_html = "".join(
+        f'<a href="https://b{j}.example/z">o</a>' for j in range(n_out)
+    )
+    rows.append(("https://hub.example/1", hub_html))
+    for j in range(n_out):
+        rows.append((f"https://b{j}.example/1", "no links"))
+    urls = [r[0] for r in rows]
+    htmls = [r[1].encode() for r in rows]
+
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(
+            pa.table({"url": urls, "html": htmls}),
+            os.path.join(td, "pages-00000.parquet"),
+        )
+        base = rd.read_parquet(os.path.join(td, "pages-00000.parquet"))
+        orig = wt._read_corpus
+        wt._read_corpus = lambda sf_dir, columns: base.select_columns(columns)
+        try:
+            plain = (
+                wt.host_two_hop(td).to_pandas()
+                .sort_values("host").reset_index(drop=True)
+            )
+            salted = (
+                wt.host_two_hop(td, cell_cap=16).to_pandas()
+                .sort_values("host").reset_index(drop=True)
+            )
+            # the r table itself: sparse, hub-only, grid factor as pinned
+            ds_urls = wt._read_corpus(td, ["url"])
+            _, node_refs = wt._host_nodes(ds_urls, wt.PAGERANK_PARTS)
+            edges = wt._host_edges(
+                wt._read_corpus(td, ["url", "html"]), node_refs,
+                wt.PAGERANK_PARTS,
+            )
+            refs = wt._hub_grid_refs(edges, wt.PAGERANK_PARTS, cell_cap=16)
+            entries = []
+            for ref in refs:
+                if ref is None:
+                    continue
+                hm, r = ray.get(ref)
+                entries += list(zip(hm.tolist(), r.tolist()))
+        finally:
+            wt._read_corpus = orig
+
+    pd.testing.assert_frame_equal(plain, salted)
+    # independent reference loop
+    out_map: dict = {}
+    for i in range(n_in):
+        out_map.setdefault(f"a{i}.example", set()).update(
+            {"hub.example", f"a{(i + 1) % n_in}.example"}
+        )
+    out_map["hub.example"] = {f"b{j}.example" for j in range(n_out)}
+    exp_rows = []
+    for h in sorted(out_map):
+        two = set()
+        for m in out_map[h]:
+            two |= out_map.get(m, set())
+        rec = sum(1 for m in out_map[h] if h in out_map.get(m, set()))
+        exp_rows.append((h, len(out_map[h]), len(two), rec))
+    exp = pd.DataFrame(
+        exp_rows,
+        columns=["host", "n_out_hosts", "n_two_hop", "n_reciprocal"],
+    )
+    pd.testing.assert_frame_equal(
+        salted.astype({"n_out_hosts": "int64", "n_two_hop": "int64",
+                       "n_reciprocal": "int64"}),
+        exp, check_dtype=False,
+    )
+    # exactly one hub entry; r = ceil(sqrt((20*1 + ... ) hub product/16))
+    # hub indeg = 20 (a_i -> hub), outdeg = 15
+    assert len(entries) == 1
+    from latyas_ray.ops.export import md5_number_lower
+    assert entries[0][0] == md5_number_lower("hub.example")
+    r = entries[0][1]
+    assert r == int(np.ceil(np.sqrt(20 * 15 / 16)))
+    # per-cell bound: indeg/r * outdeg/r <= cap (the de-skew claim)
+    assert (20 / r) * (15 / r) <= 16 + 1e-9
+
+
+def test_domain_mixture_giant_host_not_colocated(ray_session):
+    """De-skew invariant (VERDICT r4 #5): a giant host's rows split
+    across md5n buckets — no group ever holds the host's full row set —
+    while ranks/quotas/keeps stay EXACTLY the serial reference's.  The
+    bucket split is pinned by recomputing the deterministic bucket
+    assignment in the test."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import latyas_ray.ops.webtext as wt
+    from latyas_ray.ops.export import md5_number_lower
+    from latyas_ray.ops.webtext import _isqrt_arr
+
+    n_big, n_small = 1500, 5
+    urls = [f"https://giant.example/p/{i}" for i in range(n_big)] + [
+        f"https://tiny.example/p/{i}" for i in range(n_small)
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(
+            pa.table({"url": urls}), os.path.join(td, "pages-00000.parquet")
+        )
+        base = rd.read_parquet(os.path.join(td, "pages-00000.parquet"))
+        orig = wt._read_corpus
+        wt._read_corpus = lambda sf_dir, columns: base.select_columns(columns)
+        try:
+            out = wt.domain_mixture(td).to_pandas()
+        finally:
+            wt._read_corpus = orig
+
+    # serial reference: exact md5-order ranks and integer quotas
+    md5n = np.array([md5_number_lower(u) for u in urls], dtype=np.uint64)
+    host = np.array([u.split("://")[1].split("/")[0] for u in urls],
+                    dtype=object)
+    n_total = len(urls)
+    counts = pd.Series(host).value_counts()
+    w_total = int(_isqrt_arr(counts.to_numpy(np.int64)).sum())
+    t_keep = n_total * wt.DOMAIN_MIX_NUM // wt.DOMAIN_MIX_DEN
+    ref = pd.DataFrame({"url": urls, "host": host, "md5n": md5n})
+    ref = ref.sort_values(["host", "md5n", "url"]).reset_index(drop=True)
+    ref["host_rank"] = ref.groupby("host").cumcount() + 1
+    ref["n_host_pages"] = ref.groupby("host")["url"].transform("size")
+    ref["host_quota"] = np.minimum(
+        ref["n_host_pages"].to_numpy(np.int64),
+        t_keep * _isqrt_arr(ref["n_host_pages"].to_numpy(np.int64))
+        // w_total,
+    )
+    ref["keep"] = (ref["host_rank"] <= ref["host_quota"]).astype(np.int64)
+
+    got = out.sort_values(["host", "host_rank"]).reset_index(drop=True)
+    exp = ref[["url", "host", "n_host_pages", "host_quota", "host_rank",
+               "keep"]].sort_values(["host", "host_rank"]).reset_index(
+        drop=True
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"n_host_pages": "int64", "host_quota": "int64",
+                    "host_rank": "int64", "keep": "int64"}),
+        exp.astype({"n_host_pages": "int64", "host_quota": "int64",
+                    "host_rank": "int64", "keep": "int64"}),
+        check_dtype=False,
+    )
+    # the split invariant: the giant host occupies MANY buckets and its
+    # largest bucket is far below the full row set
+    shift = np.uint64(64 - (wt.DOMAIN_MIX_BUCKETS.bit_length() - 1))
+    buckets = (md5n[:n_big] >> shift).astype(np.int64)
+    sizes = np.bincount(buckets, minlength=wt.DOMAIN_MIX_BUCKETS)
+    assert (sizes > 0).sum() >= wt.DOMAIN_MIX_BUCKETS // 2
+    assert sizes.max() < n_big // 8
+
+
+def test_sorted_lookup_empty_vals_string_default():
+    """ADVICE r4: an empty values slice with a string default must
+    return all-defaults, not raise on a hardcoded int64 dtype."""
+    import numpy as np
+
+    from latyas_ray.ops.webtext import _sorted_lookup
+
+    out = _sorted_lookup(
+        np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.uint64),
+        np.array([1, 2], dtype=np.uint64), default="",
+    )
+    assert out.dtype == object and list(out) == ["", ""]
+    out2 = _sorted_lookup(
+        None, np.zeros(0, dtype=np.int64),
+        np.array([7], dtype=np.uint64), default=-5,
+    )
+    assert list(out2) == [-5]
+
+
+def test_lenprefix_name_pack_roundtrip():
+    """ADVICE r4: the component name cards survive hosts containing
+    newlines and a LONE empty host — the failure modes of the old
+    newline-joined cell."""
+    import numpy as np
+
+    from latyas_ray.ops.webtext import _unpack_lenprefix
+
+    for names in (["a\nb.example", "", "c.example"], [""], [],
+                  ["héllo.example"]):
+        enc = [h.encode("utf-8") for h in names]
+        blob = b"".join(enc)
+        lens = np.fromiter((len(e) for e in enc), dtype=np.int32,
+                           count=len(enc)).tobytes()
+        got = _unpack_lenprefix(blob, lens)
+        assert list(got) == names
