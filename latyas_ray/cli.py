@@ -75,6 +75,11 @@ def main(argv=None) -> int:
     e.add_argument("--preset", default=None,
                    choices=["paper", "report", "book"],
                    help="named pipeline preset (pipelines/presets.py)")
+    e.add_argument("--config", default=None,
+                   help="pipeline spec file or directory containing "
+                        "config.json (pipelines/config.py — the "
+                        "from_pretrained analog); mutually exclusive "
+                        "with --preset")
     e.add_argument("--metrics", action="store_true",
                    help="run the per-lang rollup after the job completes")
 
@@ -114,12 +119,19 @@ def main(argv=None) -> int:
         elif args.cmd == "extract":
             from .pipelines.extract_pipeline import rollup_metrics, run_resumable
 
+            preset = args.preset
+            if args.config is not None:
+                if preset is not None:
+                    raise SystemExit("--config and --preset are exclusive")
+                from .pipelines.config import load_pipeline_config
+
+                preset = load_pipeline_config(args.config)
             res = run_resumable(
                 args.corpus, args.out,
                 n_partitions=args.partitions,
                 batch_size=args.batch_size,
                 use_actors=not args.no_actors,
-                preset=args.preset,
+                preset=preset,
             )
             if args.metrics and res["complete"]:
                 rollup_metrics(args.out)

@@ -2989,9 +2989,68 @@ def dup_span_stats(sf_dir: str, w: int = DUP_SPAN_W,
 # -------------------------------------------------------- dup_span_removal
 
 
+def _dup_removal_refs(ds: rd.Dataset, w: int, min_urls: int, n_parts: int,
+                      cand_refs: list) -> list:
+    """The removal set (true duplicated span md5s) computed from the
+    corpus — pass 2's md5 scan + per-part census, packed as sorted
+    ``S32`` hex blobs → sharded refs."""
+
+    def pass2(df: pd.DataFrame) -> pd.DataFrame:
+        return _dup_span_pass2(df, w, n_parts, cand_refs)
+
+    def pack_census(g: pd.DataFrame) -> pd.DataFrame:
+        cen = g.groupby("span_md5")["url"].nunique()
+        dup = cen.index[cen >= min_urls].to_numpy(dtype="S32")
+        dup.sort()
+        return pd.DataFrame(
+            {"part": [int(g["part"].iloc[0])], "ms": [dup.tobytes()]}
+        )
+
+    return _shard_refs(
+        ds.map_batches(pass2, batch_format="pandas", batch_size=1024)
+        .groupby("part")
+        .map_groups(pack_census, batch_format="pandas"),
+        n_parts,
+        lambda row: np.frombuffer(row["ms"], dtype="S32"),
+    )
+
+
+def _dup_removal_refs_from_census(census_path: str, min_urls: int,
+                                  n_parts: int) -> list:
+    """The removal set rebuilt from a MATERIALIZED `dup_span_census`
+    parquet (span_md5, n_urls, n_total) — the cached-artifact path: a
+    production run writes the census once and every downstream scrub
+    skips pass 2's full md5 scan.  The part key is the same
+    ``pd.util.hash_array(span_md5) % n_parts`` the scrub probes with."""
+
+    def to_part(df: pd.DataFrame) -> pd.DataFrame:
+        f = df[df["n_urls"] >= min_urls]
+        h = pd.util.hash_array(f["span_md5"].to_numpy(dtype=object))
+        return pd.DataFrame(
+            {"span_md5": f["span_md5"].reset_index(drop=True),
+             "part": (h % n_parts).astype("int64")}
+        )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        keys = np.sort(g["span_md5"].to_numpy(dtype="S32"))
+        return pd.DataFrame(
+            {"part": [int(g["part"].iloc[0])], "ms": [keys.tobytes()]}
+        )
+
+    return _shard_refs(
+        rd.read_parquet(census_path, columns=["span_md5", "n_urls"])
+        .map_batches(to_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(pack, batch_format="pandas"),
+        n_parts,
+        lambda row: np.frombuffer(row["ms"], dtype="S32"),
+    )
+
+
 def dup_span_removal(sf_dir: str, w: int = DUP_SPAN_W,
                      min_urls: int = 2,
-                     mode: str = "broadcast") -> rd.Dataset:
+                     mode: str = "broadcast",
+                     census_path: Optional[str] = None) -> rd.Dataset:
     """Exact-substring duplicate-span REMOVAL — the scrub pass the census
     only measures (Lee et al. 2022 apply it before training): every token
     that sits inside a ``w``-token window occurring in ≥ ``min_urls``
@@ -3029,6 +3088,13 @@ def dup_span_removal(sf_dir: str, w: int = DUP_SPAN_W,
     rows, same oracle; per-NODE working set drops from the full
     candidate set to one part's slice, at the price of the corpus text
     moving through two url-keyed exchanges.
+
+    ``census_path`` (VERDICT r4 #7): a production run writes
+    `dup_span_census` once and reuses it — pass a parquet of that
+    output and the scrub rebuilds the removal set from it, skipping
+    pass 2's full md5 scan + exchange (byte-identical result; pass 1's
+    cheap-hash candidate scan stays, it is what keeps the scrub's md5
+    work bounded to duplicates).
     """
     import ray
 
@@ -3036,6 +3102,12 @@ def dup_span_removal(sf_dir: str, w: int = DUP_SPAN_W,
     ds = _read_corpus(sf_dir, ["url", "text"])
 
     if mode == "joined":
+        if census_path is not None:
+            raise ValueError(
+                "census_path reuse is a broadcast-mode feature; the "
+                "joined trunk resolves the census inside its own "
+                "co-partitioned exchange"
+            )
         from .export import _md5_lower_arr
 
         spans = _dup_span_verdicts_joined(ds, w, min_urls, n_parts,
@@ -3072,24 +3144,10 @@ def dup_span_removal(sf_dir: str, w: int = DUP_SPAN_W,
         )
 
     cand_refs = _dup_span_candidates(ds, w, min_urls, n_parts)
-
-    def pass2(df: pd.DataFrame) -> pd.DataFrame:
-        return _dup_span_pass2(df, w, n_parts, cand_refs)
-
-    def pack_census(g: pd.DataFrame) -> pd.DataFrame:
-        cen = g.groupby("span_md5")["url"].nunique()
-        dup = cen.index[cen >= min_urls].to_numpy(dtype="S32")
-        dup.sort()
-        return pd.DataFrame(
-            {"part": [int(g["part"].iloc[0])], "ms": [dup.tobytes()]}
-        )
-
-    dup_refs = _shard_refs(
-        ds.map_batches(pass2, batch_format="pandas", batch_size=1024)
-        .groupby("part")
-        .map_groups(pack_census, batch_format="pandas"),
-        n_parts,
-        lambda row: np.frombuffer(row["ms"], dtype="S32"),
+    dup_refs = (
+        _dup_removal_refs(ds, w, min_urls, n_parts, cand_refs)
+        if census_path is None
+        else _dup_removal_refs_from_census(census_path, min_urls, n_parts)
     )
 
     def scrub(df: pd.DataFrame) -> pd.DataFrame:
@@ -3469,7 +3527,8 @@ TIER_MID_NUM = 3
 TIER_MID_DEN = 4
 
 
-def tier_extraction(sf_dir: str, n_parts: int = 64) -> rd.Dataset:
+def tier_extraction(sf_dir: str, n_parts: int = 64,
+                    rank_table: Optional[str] = None) -> rd.Dataset:
     """The round's namesake capstone — end-to-end TIER EXTRACTION over
     the crawl: run the full curation gate (URL blocklist ∧ the
     Gopher/C4 quality funnel ∧ exact-text keeper election, the
@@ -3492,12 +3551,24 @@ def tier_extraction(sf_dir: str, n_parts: int = 64) -> rd.Dataset:
     sorted blobs keyed by the host md5 (`_shard_refs`); the keeper
     election and the single gate pass shared verbatim with
     `curation_pipeline` (`_curation_keeper_refs` / `_curation_flags`)
-    with one extra `_sorted_lookup` per batch for the tier."""
+    with one extra `_sorted_lookup` per batch for the tier.
+
+    ``rank_table`` (VERDICT r4 #7): a production run reuses a
+    materialized `host_pagerank` output instead of recomputing the
+    iterations — pass a parquet path with (host, rank_micro) columns
+    (e.g. ``host_pagerank(sf).write_parquet(path)``) and the op reads
+    it; byte-identical result, the PageRank scans skipped entirely.
+    The self-contained default stays (the driver contract requires a
+    one-call query)."""
     import ray
 
     from .export import _md5_lower_arr
 
-    pr = host_pagerank(sf_dir, n_parts=n_parts).materialize()
+    pr = (
+        rd.read_parquet(rank_table, columns=["host", "rank_micro"])
+        if rank_table is not None
+        else host_pagerank(sf_dir, n_parts=n_parts)
+    ).materialize()
 
     # ---- scalar: integer mean rank over ALL corpus hosts
     def mean_partial(df: pd.DataFrame) -> pd.DataFrame:

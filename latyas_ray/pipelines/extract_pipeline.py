@@ -216,7 +216,7 @@ def run_partition(
         n_rows=n_rows,
         checksum_xor=checksum,
         extractor_version=EXTRACTOR_VERSION,
-        preset=preset or "",
+        preset=(getattr(preset, "name", preset) or ""),
     )
     write_lineage(out_dir, rec)
     return rec

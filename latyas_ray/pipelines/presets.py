@@ -121,7 +121,12 @@ BOOK = PipelinePreset(name="book", **_GENERAL6)
 PRESETS: Dict[str, PipelinePreset] = {p.name: p for p in (PAPER, REPORT, BOOK)}
 
 
-def get_preset(name: str) -> PipelinePreset:
+def get_preset(name) -> PipelinePreset:
+    """Resolve a preset NAME; a :class:`PipelinePreset` passes through
+    unchanged, so config-file presets (``pipelines/config.py``) are
+    accepted everywhere a name is."""
+    if isinstance(name, PipelinePreset):
+        return name
     try:
         return PRESETS[name]
     except KeyError:

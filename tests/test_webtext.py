@@ -1533,3 +1533,48 @@ def test_lenprefix_name_pack_roundtrip():
                            count=len(enc)).tobytes()
         got = _unpack_lenprefix(blob, lens)
         assert list(got) == names
+
+
+def test_cached_artifact_reuse_tier_and_removal(ray_session, monkeypatch,
+                                                tmp_path):
+    """VERDICT r4 #7: the composites accept materialized artifacts —
+    tier_extraction a host_pagerank parquet, dup_span_removal a
+    dup_span_census parquet — producing byte-identical output while the
+    redundant recompute NEVER RUNS (the recompute entry points are
+    monkeypatched to raise, driver-side)."""
+    import latyas_ray.ops.webtext as wt
+
+    sf_dir = "/root/testdata/sf0.001"
+
+    # ---- tier_extraction(rank_table=...)
+    base = wt.tier_extraction(sf_dir).to_pandas()
+    rank_path = str(tmp_path / "rank")
+    wt.host_pagerank(sf_dir).write_parquet(rank_path)
+
+    def boom(*a, **k):
+        raise AssertionError("recompute ran despite cached artifact")
+
+    monkeypatch.setattr(wt, "host_pagerank", boom)
+    cached = wt.tier_extraction(sf_dir, rank_table=rank_path).to_pandas()
+    monkeypatch.undo()
+    a = base.sort_values("url").reset_index(drop=True)
+    b = cached.sort_values("url").reset_index(drop=True)[a.columns]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    # ---- dup_span_removal(census_path=...)
+    base_r = wt.dup_span_removal(sf_dir).to_pandas()
+    census_path = str(tmp_path / "census")
+    wt.dup_span_census(sf_dir).write_parquet(census_path)
+    monkeypatch.setattr(wt, "_dup_removal_refs", boom)
+    cached_r = wt.dup_span_removal(
+        sf_dir, census_path=census_path
+    ).to_pandas()
+    monkeypatch.undo()
+    a = base_r.sort_values("url").reset_index(drop=True)
+    b = cached_r.sort_values("url").reset_index(drop=True)[a.columns]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    # census reuse is a broadcast-mode feature
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        wt.dup_span_removal(sf_dir, mode="joined", census_path=census_path)
