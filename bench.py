@@ -222,6 +222,18 @@ def run_bench() -> dict:
     op_fns["dsir_resample"] = _lm.dsir_resample
     op_fns["token_budget_mix"] = _lm.token_budget_mix
     op_fns["domain_mixture"] = webtext.domain_mixture
+    op_fns["host_components_fast"] = webtext.host_components_fast
+
+    # round-5 co-partitioned (joined) membership modes — benched beside
+    # their broadcast twins so the transport tradeoff is a measured
+    # number, not a claim
+    def _joined(fn):
+        return lambda sf: fn(sf, mode="joined")
+
+    op_fns["boilerplate_strip_joined"] = _joined(webtext.boilerplate_strip)
+    op_fns["curation_pipeline_joined"] = _joined(webtext.curation_pipeline)
+    op_fns["dup_span_stats_joined"] = _joined(webtext.dup_span_stats)
+    op_fns["dup_span_removal_joined"] = _joined(webtext.dup_span_removal)
     if skip_queries:
         op_fns = {}
     for name, fn in op_fns.items():
@@ -274,9 +286,11 @@ def _hardware_ceiling(lo: int, hi: int) -> float:
 
 
 def run_scaling() -> dict:
-    """Same pipeline, same input, fresh processes at N=8 and 4N=32 CPUs,
-    two trials each (interleaved), with the host's own pure-CPU N→4N
-    scaling measured before and after.
+    """Same pipeline, same input, fresh processes at N=8, 2N=16 and
+    4N=32 CPUs, two trials each (interleaved), with the host's own
+    pure-CPU scaling for every rung (8→16, 16→32, 8→32) measured in the
+    same window — a THREE-POINT curve (VERDICT r4 #9), so a mid-curve
+    knee is visible instead of inferred.
 
     This virtualized single box does not deliver 4× the pure-CPU
     throughput at 32 processes vs 8 (measured 0.69–0.96 across hours —
@@ -301,12 +315,17 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     hw_a = _hardware_ceiling(8, 32)
-    r32_a, r8_a = one(32), one(8)
-    r32_b, r8_b = one(32), one(8)
+    r32_a, r16_a, r8_a = one(32), one(16), one(8)
+    r32_b, r16_b, r8_b = one(32), one(16), one(8)
     hw_b = _hardware_ceiling(8, 32)
+    hw_lo = _hardware_ceiling(8, 16)    # host's own 2× at the low rung
+    hw_hi = _hardware_ceiling(16, 32)   # and at the high rung
     sec_8 = (r8_a["value"] + r8_b["value"]) / 2
+    sec_16 = (r16_a["value"] + r16_b["value"]) / 2
     sec_32 = (r32_a["value"] + r32_b["value"]) / 2
     eff_raw = (sec_8 / sec_32) / 4
+    eff_8_16 = (sec_8 / sec_16) / 2
+    eff_16_32 = (sec_16 / sec_32) / 2
     hw = (hw_a + hw_b) / 2 / 4
     return {
         "metric": "scaling_efficiency",
@@ -314,14 +333,23 @@ def run_scaling() -> dict:
         "unit": "ratio",
         "pair": "8cpus_vs_32cpus",
         "sec_8": round(sec_8, 1),
+        "sec_16": round(sec_16, 1),
         "sec_32": round(sec_32, 1),
         "sec_8_trials": [r8_a["value"], r8_b["value"]],
+        "sec_16_trials": [r16_a["value"], r16_b["value"]],
         "sec_32_trials": [r32_a["value"], r32_b["value"]],
         "docs_per_sec_8": round(r8_a["n_docs"] / sec_8, 1),
+        "docs_per_sec_16": round(r16_a["n_docs"] / sec_16, 1),
         "docs_per_sec_32": round(r32_a["n_docs"] / sec_32, 1),
         "eff_raw": round(eff_raw, 3),
+        "eff_raw_8_16": round(eff_8_16, 3),
+        "eff_raw_16_32": round(eff_16_32, 3),
         "hardware_ceiling": round(hw, 3),
         "hardware_ceiling_trials": [round(hw_a / 4, 3), round(hw_b / 4, 3)],
+        "hardware_ceiling_8_16": round(hw_lo / 2, 3),
+        "hardware_ceiling_16_32": round(hw_hi / 2, 3),
+        "eff_norm_8_16": round(eff_8_16 / (hw_lo / 2), 3),
+        "eff_norm_16_32": round(eff_16_32 / (hw_hi / 2), 3),
         "sf": r32_a["sf"],
         "n_docs": r32_a["n_docs"],
     }

@@ -32,7 +32,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from .common import read_table
+from .common import read_table, table_num_rows
 from .dedup import _mix_step
 
 SAMPLE_MAX = 2048  # centroid-fit sample size (driver-side cap)
@@ -55,7 +55,7 @@ def _sampled_matrix(sf_dir: str, max_sample: int = SAMPLE_MAX) -> Tuple[np.ndarr
     from a distributed filter and canonicalized by vec_id sort.  The full
     table never lands on the driver (VERDICT r01 item #4)."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    n = ds.count()
+    n = table_num_rows(sf_dir, "embeddings")
     frac = min(1.0, max_sample / max(1, n))
 
     def keep(batch: pd.DataFrame) -> pd.DataFrame:
@@ -81,7 +81,7 @@ def _embedding_matrix(sf_dir: str) -> tuple:
     this deliberately raises rather than materializing TBs on the driver
     (use :func:`embedding_neardup_ivf` there)."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    n = ds.count()
+    n = table_num_rows(sf_dir, "embeddings")
     if n > _EMBEDDING_MATRIX_MAX_ROWS:
         raise ValueError(
             f"embeddings table has {n} rows > "
