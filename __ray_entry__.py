@@ -282,9 +282,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bucket-and-verify shape stays in-window via minhash_dedup)
         "anchor_text_stats": _webtext.anchor_text_stats,
         # round-4 stage-1 URL gate (in-window: never driver-verified; it
-        # displaces 2-round-green embedding_neardup — the documented-weak
-        # full-broadcast baseline whose scale path, in-window
-        # embedding_neardup_ivf, computes the same pair set)
+        # displaces 2-round-green embedding_neardup — the exact baseline
+        # (blocked distributed pair join since r5) whose sub-quadratic
+        # path, in-window embedding_neardup_ivf, computes the same pair
+        # set)
         "url_filter": _webtext.url_filter,
         "pii_scrub": _webtext.pii_scrub,
         "line_dedup": _webtext.line_dedup,

@@ -5,9 +5,10 @@
 - IVF index: coarse centroids fit on a DETERMINISTIC DISTRIBUTED SAMPLE
   (hash-filtered per batch, never the full table on the driver), bucket
   id as a first-class column — the scale path
-- embedding near-dup, exact: all-pairs cosine ≥ threshold via per-batch
-  matmul against the broadcast matrix (the small-corpus baseline — one
-  dense side must fit in memory)
+- embedding near-dup, exact: all-pairs cosine ≥ threshold via a BLOCKED
+  distributed pair join (B dense object-store blocks, one task per block
+  pair — bounded per-task memory at any corpus size; the N² FLOPs are
+  the exact baseline's contract)
 - embedding near-dup, IVF-routed: vectors shuffled BY BUCKET KEY
   (multi-probe top-2 assignment), pairwise only within co-located
   buckets — the 10^12-row path, with the documented recall trade-off
@@ -69,31 +70,66 @@ def _sampled_matrix(sf_dir: str, max_sample: int = SAMPLE_MAX) -> Tuple[np.ndarr
     return ids, mat
 
 
-# Hard bound on the exact-baseline driver materialization: beyond this,
-# refuse loudly instead of OOMing silently — the IVF path is the scale path.
-_EMBEDDING_MATRIX_MAX_ROWS = 2_000_000
+# Dense-block size for the exact near-dup's blocked pair plan: rows per
+# block chosen so one block (float32 vectors + int64 ids) stays ~32 MB at
+# d=64 — two blocks per pair task bound each task's working set regardless
+# of corpus size.
+_NEARDUP_BLOCK_ROWS = 65536
 
 
-def _embedding_matrix(sf_dir: str) -> tuple:
-    """Full table → driver matrix, canonical vec_id order.  Used ONLY by
-    the exact near-dup baseline where one dense side is required; the IVF
-    variants use :func:`_sampled_matrix`.  Size-gated: at corpus scale
-    this deliberately raises rather than materializing TBs on the driver
-    (use :func:`embedding_neardup_ivf` there)."""
+def _neardup_blocks(sf_dir: str, n_blocks: int) -> list:
+    """The embeddings table as ``n_blocks`` dense blocks in the object
+    store: rows are hash-assigned to blocks by ``splitmix64(vec_id)`` (a
+    stable function of the row, independent of input partitioning), each
+    block packed as (ids int64, vectors float32 row-major) blobs via a
+    per-batch pack + ONE coarse ``groupby("blk")`` merge.  The driver
+    streams the packed rows and ``ray.put``s one block at a time — peak
+    driver heap is a single block, never the table."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    n = table_num_rows(sf_dir, "embeddings")
-    if n > _EMBEDDING_MATRIX_MAX_ROWS:
-        raise ValueError(
-            f"embeddings table has {n} rows > "
-            f"{_EMBEDDING_MATRIX_MAX_ROWS}: the exact near-dup baseline "
-            "materializes the full table on the driver and is only for "
-            "small corpora — use embedding_neardup_ivf for the scale path."
-        )
-    t = ds.to_pandas()
-    t = t.sort_values("vec_id").reset_index(drop=True)
-    ids = t["vec_id"].to_numpy(dtype=np.int64)
-    mat = np.stack(t["embedding"].to_numpy()).astype(np.float64)
-    return ids, mat
+
+    def pack(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["vec_id"].to_numpy(dtype=np.int64)
+        if not len(ids):
+            return pd.DataFrame({"blk": pd.Series(dtype="int64"),
+                                 "ids": pd.Series(dtype="object"),
+                                 "vecs": pd.Series(dtype="object")})
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float32)
+        blk = (_mix_step(np.zeros(len(ids), dtype=np.uint64),
+                         ids.astype(np.uint64))
+               % np.uint64(n_blocks)).astype(np.int64)
+        order = np.argsort(blk, kind="stable")
+        sb, si, sm = blk[order], ids[order], mat[order]
+        bounds = np.searchsorted(sb, np.arange(n_blocks + 1))
+        rows = {"blk": [], "ids": [], "vecs": []}
+        for b in range(n_blocks):
+            lo, hi = bounds[b], bounds[b + 1]
+            if lo == hi:
+                continue
+            rows["blk"].append(b)
+            rows["ids"].append(si[lo:hi].tobytes())
+            rows["vecs"].append(np.ascontiguousarray(sm[lo:hi]).tobytes())
+        return pd.DataFrame(rows)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "blk": [int(g["blk"].iloc[0])],
+            "ids": [b"".join(g["ids"])],
+            "vecs": [b"".join(g["vecs"])],
+        })
+
+    packed = (
+        ds.map_batches(pack, batch_format="pandas", batch_size=4096)
+        .groupby("blk")
+        .map_groups(merge, batch_format="pandas")
+    )
+    refs: list = [None] * n_blocks
+    for row in packed.iter_rows():
+        ids = np.frombuffer(row["ids"], dtype=np.int64)
+        d = len(row["vecs"]) // (4 * max(1, len(ids)))
+        mat = np.frombuffer(row["vecs"], dtype=np.float32).reshape(len(ids), d)
+        refs[int(row["blk"])] = ray.put((ids, mat))
+    empty = (np.zeros(0, dtype=np.int64), np.zeros((0, 1), dtype=np.float32))
+    return [r if r is not None else ray.put(empty) for r in refs]
 
 
 def _query_vectors(sf_dir: str, n_queries: int) -> tuple:
@@ -181,29 +217,56 @@ def ann_topk(
 
 def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     """All pairs (a < b) with rounded cosine ≥ threshold — EXACT, via a
-    broadcast dense matrix (one side must fit in worker memory; the scale
-    path is :func:`embedding_neardup_ivf`, which shuffles by bucket key
-    instead of broadcasting).  (The synthetic embeddings carry no true
-    near-dups — max pairwise cosine ≈ 0.51 at sf0.01 — so the default
-    threshold is set where pairs exist; the operator is
+    BLOCKED distributed pair join: the table is packed into B dense
+    blocks in the object store (:func:`_neardup_blocks`), and one Ray
+    Data task per block pair (i ≤ j) computes that cell's cosine matrix.
+    Per-task working set = two blocks (~64 MB), regardless of corpus
+    size; nothing ever materializes the full matrix on the driver or in
+    one task.  The O(N²) FLOPs are the operator's *contract* (it is the
+    exact baseline) — at corpus scale they spread over B(B+1)/2
+    independent cells; :func:`embedding_neardup_ivf` is the sub-quadratic
+    path with the documented recall trade-off.  (The synthetic embeddings
+    carry no true near-dups — max pairwise cosine ≈ 0.51 at sf0.01 — so
+    the default threshold is set where pairs exist; the operator is
     threshold-agnostic.)"""
-    ids, mat = _embedding_matrix(sf_dir)
-    ref = ray.put((ids, _normalize(mat)))
+    n = table_num_rows(sf_dir, "embeddings")
+    n_blocks = max(1, -(-n // _NEARDUP_BLOCK_ROWS))
+    refs = _neardup_blocks(sf_dir, n_blocks)
 
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cells = rd.from_items(
+        [{"i": i, "j": j} for i in range(n_blocks)
+         for j in range(i, n_blocks)]
+    )
 
-    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
-        all_ids, all_mat = ray.get(ref)
-        bids = batch["vec_id"].to_numpy(dtype=np.int64)
-        bmat = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
-        sims = np.round(bmat @ all_mat.T, 6)
-        ai, bj = np.nonzero(sims >= threshold)
-        a = bids[ai]
-        b = all_ids[bj]
-        keep = a < b  # dedupe symmetric pairs + drop self
-        return pd.DataFrame({"a": a[keep], "b": b[keep]})
+    def cell_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        out_a: list = []
+        out_b: list = []
+        for i, j in zip(batch["i"].to_numpy(), batch["j"].to_numpy()):
+            ids_i, mat_i = ray.get(refs[int(i)])
+            ids_j, mat_j = ray.get(refs[int(j)])
+            if not len(ids_i) or not len(ids_j):
+                continue
+            sims = np.round(
+                _normalize(mat_i.astype(np.float64))
+                @ _normalize(mat_j.astype(np.float64)).T, 6)
+            ai, bj = np.nonzero(sims >= threshold)
+            a, b = ids_i[ai], ids_j[bj]
+            if i == j:
+                keep = a < b  # dedupe symmetric pairs + drop self
+                a, b = a[keep], b[keep]
+            else:  # disjoint blocks: orient each pair, nothing repeats
+                a, b = np.minimum(a, b), np.maximum(a, b)
+            out_a.append(a)
+            out_b.append(b)
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
 
-    out = ds.map_batches(pairs, batch_format="pandas", batch_size=4096).to_pandas()
+    out = cells.map_batches(
+        cell_pairs, batch_format="pandas", batch_size=1
+    ).to_pandas()
     if out.empty:
         return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
     return out.sort_values(["a", "b"]).reset_index(drop=True).astype("int64")
