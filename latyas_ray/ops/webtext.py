@@ -413,8 +413,15 @@ def _boilerplate_strip_joined(ds: rd.Dataset, removal_packed: rd.Dataset,
     probes cogroup with their one removal slice; the surviving hits
     cogroup back with the documents by url part, where the per-line
     removal mask is an exact composite-key membership test (url number +
-    digest, so one url's boilerplate can never bleed into another's)."""
+    digest, so one url's boilerplate can never bleed into another's).
+
+    The packed removal set is materialized before the cogroup — same
+    scheduler-width reason as `_dup_span_verdicts_joined` (its census
+    subtree is a corpus scan + reduce; fused, the executor splits the
+    CPU budget across the whole 15-operator plan)."""
     from .export import _md5_lower_arr
+
+    removal_packed = removal_packed.materialize()
 
     def probe(df: pd.DataFrame) -> pd.DataFrame:
         l0 = (
@@ -2696,8 +2703,18 @@ def _dup_span_verdicts_joined(ds: rd.Dataset, w: int, min_urls: int,
     ``dup_span_removal``: candidate cogroup → co-located md5 pass →
     census-with-verdicts, returning the verdict rows packed per url
     part.  Three exchanges, none of them a broadcast; the corpus text
-    moves through exactly one of them (the md5 cogroup)."""
-    cand_packed = _dup_span_candidates_packed(ds, w, min_urls, n_parts)
+    moves through exactly one of them (the md5 cogroup).
+
+    The packed candidate set is MATERIALIZED before the cogroup: it is
+    the pass-1 reduce output — ≤ ``n_parts`` blob rows totalling the
+    candidate set's bytes, the same data broadcast mode pins in the
+    object store as refs — and folding its whole subtree into the
+    cogroup DAG instead makes the streaming executor split the CPU
+    budget across ~20 concurrent operators, throttling pass 1 to a
+    couple of effective cores (measured 132 s wall for 223 s of remote
+    CPU at sf0.1/32; materialized, pass 1 runs at full width)."""
+    cand_packed = _dup_span_candidates_packed(
+        ds, w, min_urls, n_parts).materialize()
 
     def probe(df: pd.DataFrame) -> pd.DataFrame:
         return _dup_probe_windows(df, w, n_parts)
@@ -3364,10 +3381,16 @@ def _curation_pipeline_joined(ds: rd.Dataset, n_parts: int,
     the per-doc ``keep_dedup`` verdicts cogroup back with the map-only
     gate rows by url part.  Same rows, same oracle as broadcast mode;
     per-NODE working set drops from the full O(distinct texts) keeper
-    table to one slice."""
+    table to one slice.
+
+    The packed keeper table is materialized before the cogroup — same
+    scheduler-width reason as `_dup_span_verdicts_joined`: its election
+    subtree is a full corpus scan + reduce, and fusing it into the
+    cogroup DAG makes the executor split the CPU budget across every
+    stage at once (measured ~1.45× end-to-end on the dup-span twin)."""
     from .export import _md5_lower_arr
 
-    keeper_packed = _curation_keeper_packed(ds, n_parts)
+    keeper_packed = _curation_keeper_packed(ds, n_parts).materialize()
 
     def probe(df: pd.DataFrame) -> pd.DataFrame:
         t = df["text"].fillna("").reset_index(drop=True)
