@@ -1042,15 +1042,22 @@ def _hub_grid_refs(edges: rd.Dataset, n_parts: int,
         )
         outd = g[g["kind"] == 1].drop_duplicates("hm").set_index("hm")["c"]
         both = ind.index.intersection(outd.index)
+        # hub-less parts return ONE row of empty blobs, not a 0-row
+        # frame: the consumer (`_unpack_kv`) decodes b"" to empty
+        # arrays, and 0-row object-column blocks trip Ray's
+        # vectorize-based size estimator (log noise on every bench)
+        empty = pd.DataFrame(
+            {"part": [int(g["part"].iloc[0])], "hm": [b""], "v": [b""]}
+        )
         if not len(both):
-            return _empty_packed(["hm", "r"])
+            return empty
         prod = ind.loc[both].to_numpy(np.float64) * \
             outd.loc[both].to_numpy(np.float64)
         r = np.ceil(np.sqrt(prod / cap)).astype(np.int64)
         r = np.clip(r, 1, TWO_HOP_RMAX)
         hub = r > 1
         if not hub.any():
-            return _empty_packed(["hm", "v"])
+            return empty
         hm = both.to_numpy(np.uint64)[hub]
         rv = r[hub]
         order = np.argsort(hm)  # `_sorted_lookup` needs sorted keys
@@ -1205,10 +1212,14 @@ def host_two_hop(sf_dir: str, n_parts: int = PAGERANK_PARTS,
     # ---- final rollup keyed by a's part: tagged union of name rows,
     # outdeg rows, and the joined pair/reciprocal rows
     name_rows = nodes.map_batches(
+        # 'string' dtype (not object) for host: Ray synthesizes 0-row
+        # blocks from the union's schema, and an object column there
+        # trips the vectorize-based size estimator
         lambda df: pd.DataFrame(
             {"part": df["part"].to_numpy(np.int64),
              "a": df["hm"].to_numpy(np.uint64), "kind": np.int64(2),
-             "key": np.uint64(0), "host": df["host"].to_numpy(dtype=object),
+             "key": np.uint64(0),
+             "host": df["host"].astype("string"),
              "outdeg": np.int64(0)}
         ),
         batch_format="pandas", batch_size=None,
@@ -1219,7 +1230,8 @@ def host_two_hop(sf_dir: str, n_parts: int = PAGERANK_PARTS,
         return pd.DataFrame(
             {"part": f["part"].to_numpy(np.int64),
              "a": f["sm"].to_numpy(np.uint64), "kind": np.int64(3),
-             "key": np.uint64(0), "host": "",
+             "key": np.uint64(0),
+             "host": pd.array([""] * len(f), dtype="string"),
              "outdeg": f["outdeg"].to_numpy(np.int64)}
         )
 
