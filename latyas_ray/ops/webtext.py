@@ -2306,6 +2306,18 @@ def _sharded_value_lookup(queries: np.ndarray, parts: np.ndarray,
 # the set fits per-node memory); joined mode is the documented scale
 # path once the packed set exceeds a per-node budget.  Both modes of
 # every consumer are driver-verified against the SAME SQL oracle.
+#
+# EXECUTOR CONFIG: run joined-mode ops with
+# `DataContext.op_resource_reservation_enabled = False` (bench.py sets
+# it).  The joined plan is a ~20-operator DAG (two tagged unions, two
+# Sort barriers); Ray Data's default per-operator resource reservation
+# divides the CPU/object-store budget across ALL those operators up
+# front, and at 4× the bench corpus (sf0.4) that throttled the cogroup
+# trunk to single-digit concurrent tasks — every operator
+# `[backpressured:tasks,outputs]`, the box ~89% idle, a >4× slowdown on
+# top of data growth.  With reservation off, the streaming executor's
+# own backpressure regulates the same DAG at full width.  (Small inputs
+# — the sf0.01 correctness runs — are unaffected either way.)
 
 
 def _pack_blobs(part: np.ndarray, n_parts: int, cols: dict) -> pd.DataFrame:
