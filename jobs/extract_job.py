@@ -22,7 +22,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# Launched as `python jobs/extract_job.py`, sys.path[0] is jobs/ — put the
+# repo root (the job's working dir) first so `latyas_ray` imports.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
 
 
 def main(argv=None) -> int:
@@ -41,8 +47,13 @@ def main(argv=None) -> int:
     import ray
 
     if not ray.is_initialized():
-        # On a cluster this attaches to the job's Ray; standalone it starts
-        # a local one.  Never called when a driver imports the library.
+        # On a cluster this attaches to the job's Ray (`ray job submit
+        # --working-dir .` ships the repo to every worker); standalone it
+        # starts a local one, whose raylet/workers inherit this process's
+        # env — export PYTHONPATH so workers can import latyas_ray even
+        # when the job was launched from outside the repo.
+        os.environ["PYTHONPATH"] = _REPO_ROOT + os.pathsep + os.environ.get(
+            "PYTHONPATH", "")
         ray.init(ignore_reinit_error=True, include_dashboard=False)
 
     from ray.data import DataContext

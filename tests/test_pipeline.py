@@ -127,6 +127,40 @@ def test_resumable_run_and_kill_resume(ray_session, corpus_dir, golden, tmp_path
         assert sum(r["n_docs"] for r in json.load(f)) == N_ROWS
 
 
+def test_job_submit_entrypoint(corpus_dir, tmp_path):
+    """The `ray job submit` entrypoint (jobs/extract_job.py, the north
+    rule's cluster launcher) end-to-end in a subprocess — its own Ray
+    session, exactly as a job driver gets one: first submission completes
+    all partitions (exit 0, metrics.json written), a re-submission with
+    the same arguments skips every completed partition (the preemption
+    re-submit story the module docstring promises)."""
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_dir = str(tmp_path / "job_out")
+    cmd = [_sys.executable, os.path.join(repo, "jobs", "extract_job.py"),
+           "--in", corpus_dir, "--out", out_dir,
+           "--partitions", "4", "--no-actors"]
+
+    def run():
+        p = subprocess.run(cmd, cwd=repo, capture_output=True, text=True,
+                           timeout=600)
+        lines = [l for l in p.stdout.splitlines()
+                 if l.startswith('{"job"')]
+        assert p.returncode == 0, p.stderr[-2000:]
+        assert lines, p.stdout[-2000:]
+        return json.loads(lines[0])
+
+    r1 = run()
+    assert r1["complete"] and r1["n_processed"] == 4 and r1["n_skipped"] == 0
+    with open(os.path.join(out_dir, "metrics.json")) as f:
+        assert sum(r["n_docs"] for r in json.load(f)) == N_ROWS
+
+    r2 = run()  # re-submit after "preemption": everything already done
+    assert r2["complete"] and r2["n_processed"] == 0 and r2["n_skipped"] == 4
+
+
 def test_stale_version_reprocessed(ray_session, corpus_dir, tmp_path):
     out_dir = str(tmp_path / "out2")
     run_resumable(corpus_dir, out_dir, n_partitions=4, use_actors=False,
