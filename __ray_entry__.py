@@ -329,7 +329,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _export.pack_sequences,
         # dedup family
         "minhash_dedup": _oracled("minhash_dedup", _dedup.minhash_dedup),
-        "ngram_jaccard": _dedup.ngram_jaccard,
+        # round-5 keeper election over the same clusters (in-window: new
+        # this round, never driver-verified; displaces 2×-green
+        # ngram_jaccard, whose broadcast-shingle pair scoring is a strict
+        # subset of in-window contamination_scrub's machinery).  Oracle:
+        # an independent SQL window-function derivation over the minhash
+        # cluster snapshot + the documents view.
+        "minhash_keep_best": _oracled(
+            "minhash_dedup", _dedup.minhash_keep_best
+        ),
         # round-4 decontamination removal (in-window: never
         # driver-verified; displaces 3-round-green events_window_counts,
         # whose tumbling bucket-count is embedded in in-window
@@ -370,6 +378,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-collapse stage, lineitem partial-agg ≡
         # doc_stats_by_lang/domain_stats) ----
         "sessionize": _events.sessionize,
+        # rotated out for minhash_keep_best (2×+ green; its broadcast
+        # pair-scoring shape is a strict subset of in-window
+        # contamination_scrub's shingle machinery)
+        "ngram_jaccard": _dedup.ngram_jaccard,
         # rotated out for tier_extraction (3× green; partial-agg rollup
         # shape covered in-window by domain_stats / quality_funnel)
         "doc_stats_by_lang": _textstats.doc_stats_by_lang,
@@ -1539,6 +1551,25 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": (
             "SELECT doc_id, cluster_id "
             f"FROM read_parquet('{oracle_path(_GOLDEN_SF, 'minhash_dedup')}')"
+        ),
+        # Keeper election derived INDEPENDENTLY in SQL (window functions
+        # over the cluster snapshot joined with the documents view) —
+        # the engine side never sorts, it runs partial argmax reduces.
+        "minhash_keep_best": (
+            "WITH j AS (SELECT c.doc_id, c.cluster_id, d.n_chars "
+            f"FROM read_parquet('{oracle_path(_GOLDEN_SF, 'minhash_dedup')}') c "
+            "JOIN documents d ON c.doc_id = d.doc_id), "
+            "r AS (SELECT doc_id, cluster_id, "
+            "row_number() OVER (PARTITION BY cluster_id "
+            "ORDER BY n_chars DESC, doc_id) AS rn, "
+            "count(*) OVER (PARTITION BY cluster_id) AS csize FROM j), "
+            "k AS (SELECT cluster_id, doc_id AS keeper_doc_id FROM r "
+            "WHERE rn = 1) "
+            "SELECT r.doc_id, r.cluster_id, k.keeper_doc_id, "
+            "CAST(r.csize AS BIGINT) AS cluster_size, "
+            "CAST(CASE WHEN r.doc_id = k.keeper_doc_id THEN 1 ELSE 0 END "
+            "AS BIGINT) AS keep "
+            "FROM r JOIN k ON r.cluster_id = k.cluster_id"
         ),
         "simhash_fingerprints": (
             "SELECT doc_id, simhash "

@@ -417,16 +417,15 @@ def _verify_pairs_distributed(
     return verified["pair_idx"].to_numpy(dtype=np.int64)
 
 
-def minhash_dedup(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
-    """Near-dup clusters: LSH buckets → candidate pairs among exact-dup
-    reps → distributed exact-Jaccard verify → connected components.
-    Returns a streaming Dataset of (doc_id, cluster_id), cluster_id = min
-    doc_id of the component.
+def _cluster_map(sf_dir: str, threshold: float) -> Dict[int, int]:
+    """The minhash clustering core shared by ``minhash_dedup`` and
+    ``minhash_keep_best``: LSH buckets → candidate pairs among exact-dup
+    reps → distributed exact-Jaccard verify → union-find.  Returns the
+    chash → cluster-id map (cluster id = min doc_id of the component).
 
-    Driver footprint: candidate edges + duplicate-group index + the
-    chash→cluster broadcast map — all O(candidates), never O(corpus);
-    shingle sets co-locate per pair in the verify shuffle instead of
-    landing on the driver.
+    Driver footprint: candidate edges + duplicate-group index + this
+    map — all O(candidates), never O(corpus); shingle sets co-locate
+    per pair in the verify shuffle instead of landing on the driver.
     """
     buckets = minhash_buckets(sf_dir)
     edges = (
@@ -484,8 +483,14 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
             h_to_cluster[int(bh)] = find(int(b))
     for ch, rep in zip(dups.get("chash", []), dups.get("rep", [])):
         h_to_cluster[int(ch)] = find(int(rep))
+    return h_to_cluster
 
-    map_ref = ray.put(h_to_cluster)
+
+def minhash_dedup(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
+    """Near-dup clusters over the ``documents`` table; returns a
+    streaming Dataset of (doc_id, cluster_id), cluster_id = min doc_id
+    of the connected component (see ``_cluster_map`` for the shape)."""
+    map_ref = ray.put(_cluster_map(sf_dir, threshold))
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def label(batch: pd.DataFrame) -> pd.DataFrame:
@@ -497,6 +502,98 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
         return pd.DataFrame({"doc_id": ids, "cluster_id": out})
 
     return docs.map_batches(label, batch_format="pandas", batch_size=8192)
+
+
+def minhash_keep_best(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
+    """Keeper ELECTION over the minhash near-dup clusters: within each
+    cluster keep the LONGEST document (max ``n_chars``, ties → min
+    ``doc_id``) — the FineWeb/Dolma-style "keep the best copy" fuzzy-dedup
+    policy, vs ``minhash_dedup``'s plain min-id labeling.  Returns
+    (doc_id, cluster_id, keeper_doc_id, cluster_size, keep) for EVERY
+    document; singletons are their own keeper.
+
+    Scale shape: two map passes over (doc_id, text, n_chars).  Pass 1
+    emits per-BATCH partial argmaxes — O(clusters-in-batch) rows each,
+    only for docs whose content hash is in the cluster map — and the
+    driver combine is O(duplicate clusters), the same footprint class as
+    the chash→cluster map it already holds.  The keeper table broadcasts
+    once via ``ray.put`` (plasma-cached per node); pass 2 stamps every
+    document.  No shuffle touches the corpus.
+    """
+    map_ref = ray.put(_cluster_map(sf_dir, threshold))
+    docs = read_table(
+        sf_dir, "documents", columns=["doc_id", "text", "n_chars"]
+    )
+
+    def _clusters_of(batch: pd.DataFrame):
+        m = ray.get(map_ref)
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        cl = np.empty(len(ids), dtype=np.int64)
+        mapped = np.zeros(len(ids), dtype=bool)
+        for i, t in enumerate(batch["text"].fillna("")):
+            c = m.get(_content_hash64(t))
+            if c is None:
+                cl[i] = ids[i]
+            else:
+                cl[i] = c
+                mapped[i] = True
+        return ids, cl, mapped
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, cl, mapped = _clusters_of(batch)
+        nch = batch["n_chars"].to_numpy(dtype=np.int64)
+        sub = pd.DataFrame(
+            {"cluster_id": cl[mapped], "doc_id": ids[mapped],
+             "n_chars": nch[mapped]}
+        )
+        if not len(sub):
+            sub["cnt"] = pd.Series([], dtype=np.int64)
+            return sub
+        sub = sub.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True], kind="stable"
+        )
+        g = sub.groupby("cluster_id", sort=False)
+        best = g.head(1).reset_index(drop=True)
+        best["cnt"] = g.size().reindex(best["cluster_id"]).to_numpy(
+            dtype=np.int64
+        )
+        return best
+
+    parts = docs.map_batches(
+        partials, batch_format="pandas", batch_size=8192
+    ).to_pandas()
+    # final combine (O(duplicate clusters)): re-run the same argmax over
+    # the batch winners, summing member counts across batches
+    keepers: Dict[int, Tuple[int, int]] = {}
+    if len(parts):
+        parts = parts.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True], kind="stable"
+        )
+        g = parts.groupby("cluster_id", sort=False)
+        best = g.head(1)
+        sizes = g["cnt"].sum()
+        keepers = {
+            int(c): (int(d), int(sizes[c]))
+            for c, d in zip(best["cluster_id"], best["doc_id"])
+        }
+    keep_ref = ray.put(keepers)
+
+    def stamp(batch: pd.DataFrame) -> pd.DataFrame:
+        kk = ray.get(keep_ref)
+        ids, cl, _ = _clusters_of(batch)
+        keeper = np.empty(len(ids), dtype=np.int64)
+        size = np.empty(len(ids), dtype=np.int64)
+        for i, c in enumerate(cl):
+            kd, n = kk.get(int(c), (int(ids[i]), 1))
+            keeper[i] = kd
+            size[i] = n
+        return pd.DataFrame(
+            {"doc_id": ids, "cluster_id": cl, "keeper_doc_id": keeper,
+             "cluster_size": size,
+             "keep": (ids == keeper).astype(np.int64)}
+        )
+
+    return docs.map_batches(stamp, batch_format="pandas", batch_size=8192)
 
 
 # ----------------------------------------------------------------- simhash

@@ -54,6 +54,41 @@ def test_minhash_finds_planted_neardups(planted_dir):
     assert cl[3] == 3 and cl[4] == 4    # unrelated docs stay singletons
 
 
+def test_minhash_keep_best_elects_longest(planted_dir):
+    from latyas_ray.ops.dedup import minhash_keep_best
+
+    out = (
+        minhash_keep_best(planted_dir, threshold=0.7)
+        .to_pandas()
+        .sort_values("doc_id")
+        .set_index("doc_id")
+    )
+    # cluster {0,1,2,5}: doc 5 (near-dup + extra tail) is the longest →
+    # keeper; the min-id labeling would have kept doc 0 instead
+    for d in (0, 1, 2, 5):
+        assert out.loc[d, "keeper_doc_id"] == 5
+        assert out.loc[d, "cluster_size"] == 4
+        assert out.loc[d, "keep"] == (1 if d == 5 else 0)
+    # singletons keep themselves
+    for d in (3, 4):
+        assert out.loc[d, "keeper_doc_id"] == d
+        assert out.loc[d, "cluster_size"] == 1
+        assert out.loc[d, "keep"] == 1
+
+
+def test_minhash_keep_best_exercised_at_sf001(ray_session):
+    """The real documents table must contain multi-member clusters —
+    otherwise the driver row would verify a vacuous election."""
+    from latyas_ray.ops.dedup import minhash_keep_best
+
+    out = minhash_keep_best("/root/testdata/sf0.01").to_pandas()
+    assert (out["cluster_size"] > 1).any()
+    assert int(out["keep"].sum()) < len(out)
+    # exactly one keeper per cluster
+    k = out.groupby("cluster_id")["keep"].sum()
+    assert (k == 1).all()
+
+
 def test_dedup_exact_planted(ray_session, planted_dir):
     out = dedup_exact(planted_dir).to_pandas().sort_values("doc_id")
     groups = dict(zip(out["doc_id"], out["n_dups"]))

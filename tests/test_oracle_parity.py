@@ -105,6 +105,14 @@ OPS_QUERIES = [
     # broadcast-mode base ops)
     "boilerplate_strip_joined", "curation_pipeline_joined",
     "dup_span_stats_joined", "dup_span_removal_joined",
+    # round-5 keeper election (SQL window-function derivation over the
+    # minhash cluster snapshot)
+    "minhash_keep_best",
+    # previously only driver-verified: every queries() entry now has a
+    # LOCAL parity row too (texmix_markdown also builds its sf0.01
+    # snapshot before test_every_oracle_sql_parses EXPLAINs its path)
+    "texmix_markdown", "parts_by_brand", "events_hopping_counts",
+    "top_suppliers_by_revenue", "customers_by_region",
 ]
 
 
