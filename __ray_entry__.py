@@ -310,7 +310,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": _webtext.gopher_quality,
         "gopher_repetition": _webtext.gopher_repetition,
         "c4_quality": _webtext.c4_quality,
-        "dup_span_census": _webtext.dup_span_census,
+        # round-5 redirect-shell gate over the html channel (in-window:
+        # new this round, never driver-verified; displaces 2×-green
+        # dup_span_census, whose lead-window md5 machinery is stage 1 of
+        # in-window dup_span_stats and dup_span_removal)
+        "meta_refresh": _webtext.meta_refresh,
         "dup_span_stats": _webtext.dup_span_stats,
         # round-4 removal counterpart to the census (in-window: never
         # driver-verified; it displaces 2-round-green ann_topk, whose
@@ -382,6 +386,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pair-scoring shape is a strict subset of in-window
         # contamination_scrub's shingle machinery)
         "ngram_jaccard": _dedup.ngram_jaccard,
+        # rotated out for meta_refresh (2× green; its lead-window md5
+        # census is stage 1 of in-window dup_span_stats/removal)
+        "dup_span_census": _webtext.dup_span_census,
         # rotated out for tier_extraction (3× green; partial-agg rollup
         # shape covered in-window by domain_stats / quality_funnel)
         "doc_stats_by_lang": _textstats.doc_stats_by_lang,
@@ -722,6 +729,40 @@ def _contamination_scrub_sql(n_benchmark: int = 10) -> str:
         "coalesce(ka.n_removed, 0) AS n_removed, "
         "coalesce(ka.clean_md5, md5('')) AS clean_md5 "
         "FROM documents d LEFT JOIN ka USING (doc_id)"
+    )
+
+
+def _meta_refresh_sql() -> str:
+    """Independent recompute of ``meta_refresh``: DuckDB ``decode()``
+    over the hex-magic-gated html channel, ``regexp_extract`` with the
+    SAME pinned pattern (first match on both sides), split_part target
+    host parse."""
+    from latyas_ray.ops.webtext import META_REFRESH_RE
+
+    pat = META_REFRESH_RE.replace(chr(39), chr(39) * 2)
+    return (
+        "WITH d AS (SELECT url, CASE WHEN substr(hex(html), 1, 8) = "
+        "'25504446' THEN NULL ELSE decode(html) END AS h "
+        f"FROM read_parquet('{_webtext.corpus_glob(_GOLDEN_SF)}')), "
+        "m AS (SELECT url, split_part(split_part(url, '://', 2), '/', 1) "
+        "AS host, "
+        f"CASE WHEN h IS NOT NULL AND regexp_matches(h, '{pat}') "
+        "THEN 1 ELSE 0 END AS has_refresh, "
+        f"regexp_extract(h, '{pat}', 1) AS delay_s, "
+        f"regexp_extract(h, '{pat}', 2) AS tgt FROM d), "
+        "t AS (SELECT url, host, has_refresh, "
+        "CASE WHEN has_refresh = 1 THEN CAST(delay_s AS BIGINT) "
+        "ELSE -1 END AS refresh_delay, "
+        "CASE WHEN has_refresh = 1 THEN tgt ELSE '' END AS target_url "
+        "FROM m), "
+        "e AS (SELECT *, CASE WHEN target_url LIKE 'http://%' OR "
+        "target_url LIKE 'https://%' THEN "
+        "split_part(split_part(target_url, '://', 2), '/', 1) "
+        "ELSE '' END AS target_host FROM t) "
+        "SELECT url, host, CAST(has_refresh AS BIGINT) AS has_refresh, "
+        "refresh_delay, target_url, target_host, "
+        "CAST(CASE WHEN target_host <> '' AND target_host <> host "
+        "THEN 1 ELSE 0 END AS BIGINT) AS is_external FROM e"
     )
 
 
@@ -1417,6 +1458,7 @@ def oracle_sql() -> dict[str, str]:
         # dup_span_census: full lead-window md5 recompute — no prefilter,
         # so the oracle is blind to the op's cheap-hash candidacy pass
         "dup_span_census": _dup_span_sql(),
+        "meta_refresh": _meta_refresh_sql(),
         "dup_span_stats": _dup_span_stats_sql(),
         "dup_span_removal": _dup_span_removal_sql(),
         # joined-mode variants: the SAME op semantics under the SAME

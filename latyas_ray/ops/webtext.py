@@ -563,6 +563,64 @@ def url_filter(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(flag, batch_format="pandas", batch_size=8192)
 
 
+# ----------------------------------------------------------- meta_refresh
+
+# The redirect-shell gate crawl curation runs before extraction: a page
+# whose <meta http-equiv="refresh"> immediately forwards the visitor
+# carries no content of its own (soft redirect / parked domain); its
+# TARGET is crawl-frontier material, not text.  ONE pinned RE2-safe
+# pattern shared verbatim with the generated SQL oracle — first match
+# wins on both sides (re.search ≡ DuckDB regexp_extract).
+META_REFRESH_RE = r'<meta http-equiv="refresh" content="([0-9]+); ?url=([^"]*)"'
+_META_REFRESH_PAT = _re.compile(META_REFRESH_RE, _re.ASCII)
+
+
+def meta_refresh(sf_dir: str) -> rd.Dataset:
+    """Per-page meta-refresh redirect gate over the html channel:
+    (url, host, has_refresh, refresh_delay, target_url, target_host,
+    is_external).  ``refresh_delay`` is -1 and the target fields ''
+    on pages without the tag (PDF payloads included); ``is_external``
+    flags scheme-absolute targets whose host differs from the page's.
+
+    Scale shape: map-only over (url, html) — zero shuffle, zero state,
+    module-compiled regex.  At crawl scale this is a pre-extraction
+    filter: redirect shells drop BEFORE their payload ships to the
+    extractor pool."""
+    ds = _read_corpus(sf_dir, ["url", "html"])
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        urls = df["url"].reset_index(drop=True)
+        host, _ = _host_section(urls)
+        texts = pd.Series(_decode_html(df["html"]), dtype=object)
+        ext = texts.fillna("").str.extract(_META_REFRESH_PAT)
+        has = ext[0].notna()
+        delay = (
+            pd.to_numeric(ext[0], errors="coerce").fillna(-1).astype(np.int64)
+        )
+        tgt = ext[1].where(has, "").fillna("")
+        absolute = tgt.str.startswith("http://") | tgt.str.startswith(
+            "https://"
+        )
+        t_host, _ = _host_section(tgt)
+        t_host = t_host.where(absolute, "")
+        return pd.DataFrame(
+            {
+                "url": urls,
+                "host": host,
+                "has_refresh": has.to_numpy(dtype=np.int64),
+                "refresh_delay": delay,
+                "target_url": tgt,
+                "target_host": t_host,
+                # pinned with the SQL oracle: external ⇔ a non-empty
+                # absolute target host that differs from the page's
+                "is_external": ((t_host != "") & (t_host != host))
+                .to_numpy(dtype=np.int64),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pandas", batch_size=4096)
+
+
 # ---------------------------------------------------------- outlink_stats
 
 # The link-graph rollup every crawl pipeline computes before centrality

@@ -106,8 +106,8 @@ OPS_QUERIES = [
     "boilerplate_strip_joined", "curation_pipeline_joined",
     "dup_span_stats_joined", "dup_span_removal_joined",
     # round-5 keeper election (SQL window-function derivation over the
-    # minhash cluster snapshot)
-    "minhash_keep_best",
+    # minhash cluster snapshot) + redirect-shell gate
+    "minhash_keep_best", "meta_refresh",
     # previously only driver-verified: every queries() entry now has a
     # LOCAL parity row too (texmix_markdown also builds its sf0.01
     # snapshot before test_every_oracle_sql_parses EXPLAINs its path)

@@ -521,6 +521,75 @@ def test_url_filter_kernel_semantics(ray_session):
     assert out.loc[urls[4], "host"] == "" and out.loc[urls[4], "keep"] == 1
 
 
+def test_meta_refresh_kernel_semantics(ray_session):
+    """meta_refresh parses the FIRST refresh tag (delay + target),
+    classifies external vs same-host vs relative targets, and is inert
+    on tag-less pages and PDF payloads."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import latyas_ray.ops.webtext as wt
+
+    def page(body: str) -> bytes:
+        return f"<html><head>{body}</head><body></body></html>".encode()
+
+    rows = [
+        ("https://a.example/p1",
+         page('<meta http-equiv="refresh" content="0; url=https://b.example/x">')),
+        ("https://a.example/p2",
+         page('<meta http-equiv="refresh" content="5; url=https://a.example/y">')),
+        ("https://a.example/p3",
+         page('<meta http-equiv="refresh" content="3; url=/relative/path">')),
+        ("https://a.example/p4", page("<p>no redirect</p>")),
+        ("https://a.example/p5", b"%PDF-1.4 fake"),
+        # two tags: first match wins on both engine and oracle sides
+        ("https://a.example/p6",
+         page('<meta http-equiv="refresh" content="1; url=https://c.example/">'
+              '<meta http-equiv="refresh" content="9; url=https://d.example/">')),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(
+            pa.table({"url": [r[0] for r in rows],
+                      "html": pa.array([r[1] for r in rows], pa.binary())}),
+            os.path.join(td, "pages-00000.parquet"),
+        )
+        base = rd.read_parquet(os.path.join(td, "pages-00000.parquet"))
+        orig = wt._read_corpus
+        wt._read_corpus = lambda sf_dir, columns: base.select_columns(columns)
+        try:
+            out = wt.meta_refresh(td).to_pandas().set_index("url")
+        finally:
+            wt._read_corpus = orig
+
+    p1 = out.loc["https://a.example/p1"]
+    assert (p1.has_refresh, p1.refresh_delay, p1.target_host,
+            p1.is_external) == (1, 0, "b.example", 1)
+    p2 = out.loc["https://a.example/p2"]
+    assert (p2.has_refresh, p2.refresh_delay, p2.is_external) == (1, 5, 0)
+    p3 = out.loc["https://a.example/p3"]
+    assert (p3.has_refresh, p3.target_url, p3.target_host,
+            p3.is_external) == (1, "/relative/path", "", 0)
+    for u in ("https://a.example/p4", "https://a.example/p5"):
+        r = out.loc[u]
+        assert (r.has_refresh, r.refresh_delay, r.target_url) == (0, -1, "")
+    p6 = out.loc["https://a.example/p6"]
+    assert (p6.refresh_delay, p6.target_host) == (1, "c.example")
+
+
+def test_meta_refresh_exercised_on_corpus(ray_session):
+    """The synthetic corpus must contain redirect shells — otherwise the
+    driver row would verify a vacuous gate."""
+    from latyas_ray.ops.webtext import meta_refresh
+
+    out = meta_refresh("/root/testdata/sf0.001").to_pandas()
+    assert int(out["has_refresh"].sum()) > 0
+    assert (out.loc[out["has_refresh"] == 1, "is_external"] == 1).any()
+
+
 def test_outlink_stats_kernel_semantics(ray_session):
     """outlink_stats on a crafted corpus: PDF payloads count as pages
     but not html pages; internal/relative links are never external;
