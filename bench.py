@@ -234,6 +234,9 @@ def run_bench() -> dict:
     op_fns["curation_pipeline_joined"] = _joined(webtext.curation_pipeline)
     op_fns["dup_span_stats_joined"] = _joined(webtext.dup_span_stats)
     op_fns["dup_span_removal_joined"] = _joined(webtext.dup_span_removal)
+    # round-5 additions: keeper election + redirect-shell gate
+    op_fns["minhash_keep_best"] = dedup.minhash_keep_best
+    op_fns["meta_refresh"] = webtext.meta_refresh
     if skip_queries:
         op_fns = {}
     for name, fn in op_fns.items():
