@@ -737,12 +737,16 @@ def _meta_refresh_sql() -> str:
     over the hex-magic-gated html channel, ``regexp_extract`` with the
     SAME pinned pattern (first match on both sides), split_part target
     host parse."""
-    from latyas_ray.ops.webtext import META_REFRESH_RE
+    from latyas_ray.ops.webtext import (
+        META_REFRESH_HEAD_CHARS,
+        META_REFRESH_RE,
+    )
 
     pat = META_REFRESH_RE.replace(chr(39), chr(39) * 2)
     return (
         "WITH d AS (SELECT url, CASE WHEN substr(hex(html), 1, 8) = "
-        "'25504446' THEN NULL ELSE decode(html) END AS h "
+        "'25504446' THEN NULL ELSE "
+        f"substr(decode(html), 1, {META_REFRESH_HEAD_CHARS}) END AS h "
         f"FROM read_parquet('{_webtext.corpus_glob(_GOLDEN_SF)}')), "
         "m AS (SELECT url, split_part(split_part(url, '://', 2), '/', 1) "
         "AS host, "

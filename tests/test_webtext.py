@@ -550,6 +550,10 @@ def test_meta_refresh_kernel_semantics(ray_session):
         ("https://a.example/p6",
          page('<meta http-equiv="refresh" content="1; url=https://c.example/">'
               '<meta http-equiv="refresh" content="9; url=https://d.example/">')),
+        # tag past the pinned head window: missed on BOTH sides
+        ("https://a.example/p7",
+         page("x" * 5000
+              + '<meta http-equiv="refresh" content="0; url=https://e.example/">')),
     ]
     with tempfile.TemporaryDirectory() as td:
         pq.write_table(
@@ -578,6 +582,8 @@ def test_meta_refresh_kernel_semantics(ray_session):
         assert (r.has_refresh, r.refresh_delay, r.target_url) == (0, -1, "")
     p6 = out.loc["https://a.example/p6"]
     assert (p6.refresh_delay, p6.target_host) == (1, "c.example")
+    p7 = out.loc["https://a.example/p7"]
+    assert (p7.has_refresh, p7.refresh_delay) == (0, -1)
 
 
 def test_meta_refresh_exercised_on_corpus(ray_session):
