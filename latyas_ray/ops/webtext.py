@@ -300,6 +300,18 @@ def line_dedup(sf_dir: str, min_count: int = 2, min_urls: int = 0) -> rd.Dataset
 # ----------------------------------------------------- boilerplate_strip
 
 
+def _check_mode(mode: str) -> None:
+    """Loud validation for the membership-mode consumers: a typo'd
+    ``mode`` must not silently fall through to the broadcast plan —
+    at crawl scale broadcast residency is exactly what joined mode
+    exists to avoid, so a silent fallback is a node OOM with no error
+    (the codebase convention is strict key validation, config.py)."""
+    if mode not in ("broadcast", "joined"):
+        raise ValueError(
+            f"unknown membership mode {mode!r}; valid: 'broadcast', 'joined'"
+        )
+
+
 def boilerplate_strip(sf_dir: str, min_urls: int = 10,
                       mode: str = "broadcast") -> rd.Dataset:
     """C4-style boilerplate removal, the consumer of the ``line_dedup``
@@ -324,6 +336,7 @@ def boilerplate_strip(sf_dir: str, min_urls: int = 10,
     digest) probes cogroup with their one slice, hits cogroup back with
     the documents by url part.  Same rows, same oracle.
     """
+    _check_mode(mode)
     n_parts = 64
     removal_packed = _boilerplate_removal_packed(sf_dir, min_urls, n_parts)
     ds = _read_corpus(sf_dir, ["url", "text"])
@@ -436,7 +449,12 @@ def _boilerplate_strip_joined(ds: rd.Dataset, removal_packed: rd.Dataset,
             s: hashlib.md5(s.encode("utf-8")).hexdigest() for s in uniq
         }
         dg = f["line"].map(digm).to_numpy(dtype=object)
-        uh = _md5_lower_arr(f["url"].to_numpy(dtype=object))
+        # url md5 once per UNIQUE url, mapped onto the exploded rows —
+        # hashing per (url, line) row paid lines-count md5s where
+        # docs-count suffice (the final stage already uses this pattern)
+        uurls = f["url"].unique()
+        uhm = dict(zip(uurls, _md5_lower_arr(np.asarray(uurls, dtype=object))))
+        uh = f["url"].map(uhm).to_numpy(dtype=np.uint64)
         part = (pd.util.hash_array(dg) % n_parts).astype(np.int64)
         return _pack_blobs(
             part, n_parts, {"uh": (uh, np.uint64), "dg": (dg, "S32")}
@@ -603,9 +621,16 @@ def meta_refresh(sf_dir: str) -> rd.Dataset:
         heads = texts.fillna("").str.slice(0, META_REFRESH_HEAD_CHARS)
         ext = heads.str.extract(_META_REFRESH_PAT)
         has = ext[0].notna()
-        delay = (
-            pd.to_numeric(ext[0], errors="coerce").fillna(-1).astype(np.int64)
-        )
+        # exact integer parse per MATCHED row (redirect shells are rare):
+        # the float64 round-trip of pd.to_numeric loses precision above
+        # 2^53 and silently wraps on > int64 digits where the oracle's
+        # CAST(... AS BIGINT) errors loudly — Python int → int64 raises
+        # OverflowError, the same loud failure
+        delay = np.full(len(heads), -1, dtype=np.int64)
+        if has.any():
+            matched = ext[0].to_numpy(dtype=object)
+            for i in np.flatnonzero(has.to_numpy()):
+                delay[i] = int(matched[i])
         tgt = ext[1].where(has, "").fillna("")
         absolute = tgt.str.startswith("http://") | tgt.str.startswith(
             "https://"
@@ -2813,8 +2838,11 @@ def _dup_span_verdicts_joined(ds: rd.Dataset, w: int, min_urls: int,
     hits = _cogroup(
         cand_packed,
         ds.map_batches(probe, batch_format="pandas", batch_size=1024),
-        {"hs": "blob", "nd": "blob", "uh": "blob", "pos": "blob",
-         "acc": "blob"},
+        # no "nd": neither side carries it here (the set side reduced it
+        # away in pass 1; it belongs to the later counts-stage cogroup)
+        # — declaring it shipped a filler blob column through the
+        # hottest joined-mode exchange
+        {"hs": "blob", "uh": "blob", "pos": "blob", "acc": "blob"},
         lambda s, p: _dup_merge_candidates(s, p, n_parts),
     )
 
@@ -2960,6 +2988,7 @@ def dup_span_stats(sf_dir: str, w: int = DUP_SPAN_W,
     """
     import ray
 
+    _check_mode(mode)
     n_parts = 64
     ds = _read_corpus(sf_dir, ["url", "text"])
 
@@ -3206,6 +3235,7 @@ def dup_span_removal(sf_dir: str, w: int = DUP_SPAN_W,
     """
     import ray
 
+    _check_mode(mode)
     n_parts = 64
     ds = _read_corpus(sf_dir, ["url", "text"])
 
@@ -3382,6 +3412,7 @@ def curation_pipeline(sf_dir: str, n_shards: int = 64,
     """
     import ray
 
+    _check_mode(mode)
     n_parts = 64
     ds = _read_corpus(sf_dir, ["url", "text"])
 
@@ -3522,7 +3553,7 @@ def _curation_pipeline_joined(ds: rd.Dataset, n_parts: int,
 
     def gate_local(df: pd.DataFrame) -> pd.DataFrame:
         urls, _, keep_url, keep_q, own, _, _ = _curation_local(
-            df, URL_BLOCKLIST, n_parts
+            df, URL_BLOCKLIST, n_parts, with_text_md5=False
         )
         return pd.DataFrame(
             {"part": (own % np.uint64(n_parts)).astype(np.int64),
@@ -3600,11 +3631,16 @@ def _curation_flags(df: pd.DataFrame, bl: dict, keeper_refs: list,
     return urls, host, flags
 
 
-def _curation_local(df: pd.DataFrame, bl: dict, n_parts: int):
+def _curation_local(df: pd.DataFrame, bl: dict, n_parts: int,
+                    with_text_md5: bool = True):
     """The map-only half of the curation gate — everything except the
     keeper lookup: URL flags, the three quality batteries over one
     `_flat_tokens` run, the text-md5 identity and its coarse part key.
-    Shared by both membership modes."""
+    Shared by both membership modes.  Joined mode's gate stage passes
+    ``with_text_md5=False``: its keeper lookup already happened in the
+    probe/merge exchange, so hashing every document's full text again
+    here would be a third wasted corpus-wide md5 pass (the md5s/part
+    slots return None)."""
     t = df["text"].fillna("").reset_index(drop=True)
     urls = df["url"].reset_index(drop=True)
     from .export import _md5_lower_arr
@@ -3619,12 +3655,14 @@ def _curation_local(df: pd.DataFrame, bl: dict, n_parts: int):
         & r["passes_repetition"].to_numpy().astype(bool)
         & c["passes_c4"].to_numpy().astype(bool)
     )
+    own = _md5_lower_arr(urls.to_numpy(dtype=object))
+    if not with_text_md5:
+        return urls, host, keep_url, keep_q, own, None, None
     md5s = np.array(
         [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t],
         dtype=object,
     )
     part = (pd.util.hash_array(md5s) % n_parts).astype(np.int64)
-    own = _md5_lower_arr(urls.to_numpy(dtype=object))
     return urls, host, keep_url, keep_q, own, md5s.astype("S32"), part
 
 

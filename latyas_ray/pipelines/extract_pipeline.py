@@ -41,6 +41,7 @@ import ray.data as rd
 
 from .. import EXTRACTOR_VERSION
 from ..pdf_extract import PDF_MAGIC
+from .presets import preset_resume_id
 from ..stages.extract_stage import (
     ExtractStage,
     PdfExtractStage,
@@ -216,7 +217,7 @@ def run_partition(
         n_rows=n_rows,
         checksum_xor=checksum,
         extractor_version=EXTRACTOR_VERSION,
-        preset=(getattr(preset, "name", preset) or ""),
+        preset=preset_resume_id(preset),
     )
     write_lineage(out_dir, rec)
     return rec
@@ -239,7 +240,13 @@ def run_resumable(
     files = list_corpus_files(corpus_dir)
     parts = partition_input_files(files, n_partitions)
     os.makedirs(out_dir, exist_ok=True)
-    done = completed_partitions(out_dir, EXTRACTOR_VERSION, preset=preset or "")
+    # resume identity is the preset's STRING id (name, or
+    # name+content-digest for customized config-file presets) — passing
+    # the PipelinePreset object itself compared string == object and
+    # never matched, so a resumed --config run reprocessed everything
+    done = completed_partitions(
+        out_dir, EXTRACTOR_VERSION, preset=preset_resume_id(preset)
+    )
 
     processed, skipped = [], []
     for pid, part_files in enumerate(parts):

@@ -133,3 +133,31 @@ def get_preset(name) -> PipelinePreset:
         raise KeyError(
             f"unknown pipeline preset {name!r}; available: {sorted(PRESETS)}"
         ) from None
+
+
+def preset_resume_id(preset) -> str:
+    """The STRING identity a partition's lineage records and a resumed
+    run matches against (``completed_partitions``).  ``""`` = default
+    registry; a registry name is itself; a :class:`PipelinePreset`
+    object that IS the registry preset of its name resolves to that
+    name (a config file that only names a base preset resumes
+    interchangeably with ``--preset``); a CUSTOMIZED preset —
+    overridden slots/rules, renamed or not — gets
+    ``name+sha256(content)[:12]``.  The content digest is load-bearing:
+    lineage that recorded only the NAME let a config file overriding
+    slots under an unchanged name alias the base preset, so a resumed
+    run could silently skip partitions extracted under a different
+    rule table (or vice versa)."""
+    import hashlib
+
+    if preset is None:
+        return ""
+    if isinstance(preset, str):
+        return preset
+    if PRESETS.get(preset.name) == preset:
+        return preset.name
+    blob = repr(
+        (preset.name, preset.layout_models, preset.ocr_models,
+         tuple((k.name, s) for k, s in preset.rules))
+    ).encode("utf-8")
+    return f"{preset.name}+{hashlib.sha256(blob).hexdigest()[:12]}"

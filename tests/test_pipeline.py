@@ -369,3 +369,34 @@ def test_lineage_preset_identity(tmp_path):
     p.write_text(_json.dumps(d))
     assert 0 in completed_partitions(str(tmp_path), "v1")
     assert not completed_partitions(str(tmp_path), "v1", preset="report")
+
+
+def test_config_preset_resume_skips_completed(ray_session, corpus_dir, tmp_path):
+    """Resume with a config-file preset (a PipelinePreset OBJECT, not a
+    registry name): the first run's lineage records the preset's string
+    resume id, and a rerun of the identical command skips every
+    completed partition.  Regression: completed_partitions was handed
+    the OBJECT and compared string == object, so a resumed --config run
+    silently reprocessed everything; and lineage recorded only the NAME,
+    so a config overriding slots under an unchanged name aliased the
+    base preset."""
+    import dataclasses
+
+    from latyas_ray.pipelines.presets import REPORT, preset_resume_id
+
+    custom = dataclasses.replace(REPORT, rules=tuple(REPORT.rules[:2]))
+    out_dir = str(tmp_path / "out")
+    r1 = run_resumable(corpus_dir, out_dir, n_partitions=4, preset=custom)
+    assert r1["complete"] and len(r1["processed"]) == 4
+    recs = completed_partitions(
+        out_dir, EXTRACTOR_VERSION, preset=preset_resume_id(custom)
+    )
+    assert set(recs) == {0, 1, 2, 3}
+
+    r2 = run_resumable(corpus_dir, out_dir, n_partitions=4, preset=custom)
+    assert r2["skipped"] == [0, 1, 2, 3] and not r2["processed"]
+
+    # same NAME, different effective config (the base registry preset):
+    # every partition must reprocess, not silently reuse the custom run
+    r3 = run_resumable(corpus_dir, out_dir, n_partitions=4, preset="report")
+    assert r3["processed"] == [0, 1, 2, 3] and not r3["skipped"]

@@ -125,3 +125,37 @@ def test_config_file_hash_identical_to_constructor(ray_session, tmp_path):
     # get_preset passthrough: a loaded preset is accepted wherever a
     # name is
     assert get_preset(load_pipeline_config(spec)) == REPORT
+
+
+def test_preset_resume_id():
+    """The lineage resume identity: '' for default, a registry name for
+    itself, a registry-equal OBJECT resolves to its name (a config file
+    that only names a base preset resumes interchangeably with
+    --preset), and any customized preset — renamed or not — gets a
+    content digest so two different effective configs can never alias
+    in the resume check."""
+    import dataclasses
+
+    from latyas_ray.pipelines.presets import (
+        PAPER,
+        REPORT,
+        preset_resume_id,
+    )
+
+    assert preset_resume_id(None) == ""
+    assert preset_resume_id("paper") == "paper"
+    assert preset_resume_id(PAPER) == "paper"
+    assert preset_resume_id(REPORT) == "report"
+
+    # overridden rules, name unchanged -> digest, not the bare name
+    custom = dataclasses.replace(REPORT, rules=tuple(REPORT.rules[:2]))
+    rid = preset_resume_id(custom)
+    assert rid.startswith("report+") and rid != "report"
+    # deterministic, and distinct configs get distinct ids
+    assert rid == preset_resume_id(custom)
+    other = dataclasses.replace(REPORT, rules=tuple(REPORT.rules[:1]))
+    assert preset_resume_id(other) != rid
+    # renamed but content-identical to a registry preset: still a
+    # digest id (the name alone is not the identity)
+    renamed = dataclasses.replace(REPORT, name="my-pipeline")
+    assert preset_resume_id(renamed).startswith("my-pipeline+")

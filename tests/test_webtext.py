@@ -1653,3 +1653,17 @@ def test_cached_artifact_reuse_tier_and_removal(ray_session, monkeypatch,
     import pytest as _pytest
     with _pytest.raises(ValueError):
         wt.dup_span_removal(sf_dir, mode="joined", census_path=census_path)
+
+
+def test_membership_mode_validated():
+    """A typo'd mode must fail loudly, not silently fall through to the
+    broadcast plan (whose per-node residency joined mode exists to
+    avoid)."""
+    import pytest as _pytest
+
+    from latyas_ray.ops import webtext as wt
+
+    for fn in (wt.boilerplate_strip, wt.dup_span_stats,
+               wt.dup_span_removal, wt.curation_pipeline):
+        with _pytest.raises(ValueError, match="membership mode"):
+            fn("/root/testdata/sf0.001", mode="Joined")
