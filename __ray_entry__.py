@@ -736,13 +736,22 @@ def _meta_refresh_sql() -> str:
     """Independent recompute of ``meta_refresh``: DuckDB ``decode()``
     over the hex-magic-gated html channel, ``regexp_extract`` with the
     SAME pinned pattern (first match on both sides), split_part target
-    host parse."""
+    host parse.  The delay clamps at the op's pinned cap — expressed on
+    the digit STRING (>15 significant digits ⇔ value ≥ 10^15) so the
+    BIGINT cast can never overflow where the engine's min() doesn't."""
     from latyas_ray.ops.webtext import (
+        META_REFRESH_DELAY_CAP,
         META_REFRESH_HEAD_CHARS,
         META_REFRESH_RE,
     )
 
     pat = META_REFRESH_RE.replace(chr(39), chr(39) * 2)
+    cap = META_REFRESH_DELAY_CAP
+    delay = (
+        "CASE WHEN ltrim(delay_s, '0') = '' THEN 0 "
+        f"WHEN length(ltrim(delay_s, '0')) > 15 THEN {cap} "
+        "ELSE CAST(delay_s AS BIGINT) END"
+    )
     return (
         "WITH d AS (SELECT url, CASE WHEN substr(hex(html), 1, 8) = "
         "'25504446' THEN NULL ELSE "
@@ -755,7 +764,7 @@ def _meta_refresh_sql() -> str:
         f"regexp_extract(h, '{pat}', 1) AS delay_s, "
         f"regexp_extract(h, '{pat}', 2) AS tgt FROM d), "
         "t AS (SELECT url, host, has_refresh, "
-        "CASE WHEN has_refresh = 1 THEN CAST(delay_s AS BIGINT) "
+        f"CASE WHEN has_refresh = 1 THEN {delay} "
         "ELSE -1 END AS refresh_delay, "
         "CASE WHEN has_refresh = 1 THEN tgt ELSE '' END AS target_url "
         "FROM m), "

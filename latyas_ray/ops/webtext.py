@@ -600,6 +600,14 @@ _META_REFRESH_PAT = _re.compile(META_REFRESH_RE, _re.ASCII)
 # missed identically on both).
 META_REFRESH_HEAD_CHARS = 4096
 
+# Delays clamp at 10^15 seconds (~31 My — any larger value is garbage,
+# not a schedule).  PINNED with the SQL oracle: the regex accepts
+# unbounded [0-9]+, and an uncapped parse means one dirty page with a
+# 20-digit delay kills a crawl-scale gate job (engine int64 overflow /
+# oracle CAST error).  min(value, cap) is SQL-expressible without the
+# CAST ever overflowing: >15 significant digits ⇔ value ≥ 10^15.
+META_REFRESH_DELAY_CAP = 10**15
+
 
 def meta_refresh(sf_dir: str) -> rd.Dataset:
     """Per-page meta-refresh redirect gate over the html channel:
@@ -617,7 +625,15 @@ def meta_refresh(sf_dir: str) -> rd.Dataset:
     def flag(df: pd.DataFrame) -> pd.DataFrame:
         urls = df["url"].reset_index(drop=True)
         host, _ = _host_section(urls)
-        texts = pd.Series(_decode_html(df["html"]), dtype=object)
+        # decode ONLY the head window's worth of bytes (≤4 bytes/char
+        # bound makes the C-char slice exact — see _decode_html): the
+        # head-window commit cut the regex cost but still paid a full
+        # O(payload) decode per page
+        texts = pd.Series(
+            _decode_html(df["html"],
+                         max_bytes=4 * META_REFRESH_HEAD_CHARS),
+            dtype=object,
+        )
         heads = texts.fillna("").str.slice(0, META_REFRESH_HEAD_CHARS)
         ext = heads.str.extract(_META_REFRESH_PAT)
         has = ext[0].notna()
@@ -630,11 +646,9 @@ def meta_refresh(sf_dir: str) -> rd.Dataset:
         if has.any():
             matched = ext[0].to_numpy(dtype=object)
             for i in np.flatnonzero(has.to_numpy()):
-                delay[i] = int(matched[i])
+                delay[i] = min(int(matched[i]), META_REFRESH_DELAY_CAP)
         tgt = ext[1].where(has, "").fillna("")
-        absolute = tgt.str.startswith("http://") | tgt.str.startswith(
-            "https://"
-        )
+        absolute = tgt.str.startswith(("http://", "https://"))
         t_host, _ = _host_section(tgt)
         t_host = t_host.where(absolute, "")
         return pd.DataFrame(
@@ -682,17 +696,25 @@ ANCHOR_PAIR_RE = r'<a href="([^"]*)"[^>]*>([^<]*)</a>'
 _ANCHOR_PAT = _re.compile(ANCHOR_PAIR_RE)
 
 
-def _decode_html(payloads) -> list:
+def _decode_html(payloads, max_bytes: Optional[int] = None) -> list:
     """The html channel decode every link op shares: PDF payloads
     (leading %PDF magic) and nulls map to None, everything else decodes
     utf-8 with errors='replace' (total on dirty crawls; exact on the
-    corpus, whose non-PDF payloads are pinned valid utf-8)."""
+    corpus, whose non-PDF payloads are pinned valid utf-8).
+
+    ``max_bytes``: decode only the payload's first N bytes — for a
+    consumer that slices a C-char head window, ``max_bytes=4*C`` is
+    EXACT (a utf-8 char is ≤4 bytes, so ≥C complete chars decode before
+    any truncation artifact, and a boundary-straddling sequence's
+    replacement char lands at index ≥C, outside the window) while the
+    decode cost drops from O(payload) to O(4C)."""
     texts = []
     for h in payloads:
         if h is None or bytes(h[:4]) == b"%PDF":
             texts.append(None)
         else:
-            texts.append(bytes(h).decode("utf-8", errors="replace"))
+            b = bytes(h) if max_bytes is None else bytes(h[:max_bytes])
+            texts.append(b.decode("utf-8", errors="replace"))
     return texts
 
 

@@ -554,6 +554,18 @@ def test_meta_refresh_kernel_semantics(ray_session):
         ("https://a.example/p7",
          page("x" * 5000
               + '<meta http-equiv="refresh" content="0; url=https://e.example/">')),
+        # 20-digit delay (regex-valid garbage): clamps at the pinned cap
+        # instead of overflowing int64 / killing the job
+        ("https://a.example/p8",
+         page('<meta http-equiv="refresh" '
+              'content="99999999999999999999; url=https://f.example/">')),
+        # multibyte chars filling the head window: the byte-bounded
+        # decode (4 bytes/char) must still see a tag inside the CHAR
+        # window — 1000 three-byte chars (3000 bytes) precede the tag,
+        # well past head_chars bytes read naively but < 4096 chars
+        ("https://a.example/p9",
+         page("世" * 1000
+              + '<meta http-equiv="refresh" content="2; url=https://g.example/">')),
     ]
     with tempfile.TemporaryDirectory() as td:
         pq.write_table(
@@ -584,6 +596,14 @@ def test_meta_refresh_kernel_semantics(ray_session):
     assert (p6.refresh_delay, p6.target_host) == (1, "c.example")
     p7 = out.loc["https://a.example/p7"]
     assert (p7.has_refresh, p7.refresh_delay) == (0, -1)
+    p8 = out.loc["https://a.example/p8"]
+    from latyas_ray.ops.webtext import META_REFRESH_DELAY_CAP
+
+    assert (p8.has_refresh, p8.refresh_delay, p8.target_host) == (
+        1, META_REFRESH_DELAY_CAP, "f.example")
+    p9 = out.loc["https://a.example/p9"]
+    assert (p9.has_refresh, p9.refresh_delay, p9.target_host) == (
+        1, 2, "g.example")
 
 
 def test_meta_refresh_exercised_on_corpus(ray_session):
