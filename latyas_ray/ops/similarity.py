@@ -71,10 +71,18 @@ def _sampled_matrix(sf_dir: str, max_sample: int = SAMPLE_MAX) -> Tuple[np.ndarr
 
 
 # Dense-block size for the exact near-dup's blocked pair plan: rows per
-# block chosen so one block (float32 vectors + int64 ids) stays ~32 MB at
-# d=64 — two blocks per pair task bound each task's working set regardless
-# of corpus size.
+# block chosen so one block (float32 vectors + int64 ids) stays ~16 MB at
+# d=64 (65536 × 64 × 4 B vectors + 65536 × 8 B ids) — two blocks per pair
+# task bound each task's working set regardless of corpus size.
 _NEARDUP_BLOCK_ROWS = 65536
+
+# Tile edge for the within-bucket pair scan of embedding_neardup_ivf:
+# the m×m cosine matrix of a bucket GROUP is corpus-proportional (m ≈
+# n·n_probe/n_buckets), so the scan runs over TILE×TILE sub-blocks —
+# per-task peak memory = group matrix (m·d float64) + one ~33 MB tile,
+# never the m² matrix.  (FLOPs are unchanged; bounding compute is
+# n_buckets' job — size it ~ n/target_bucket_rows at corpus scale.)
+_IVF_PAIR_TILE = 2048
 
 
 def _neardup_blocks(sf_dir: str, n_blocks: int) -> list:
@@ -192,6 +200,12 @@ def ann_topk(
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "sim": pd.Series(dtype="float64")}
+            )
         qids, qmat = ray.get(q_ref)
         bids = batch["vec_id"].to_numpy(dtype=np.int64)
         bmat = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
@@ -220,7 +234,7 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame
     BLOCKED distributed pair join: the table is packed into B dense
     blocks in the object store (:func:`_neardup_blocks`), and one Ray
     Data task per block pair (i ≤ j) computes that cell's cosine matrix.
-    Per-task working set = two blocks (~64 MB), regardless of corpus
+    Per-task working set = two blocks (~33 MB at d=64), regardless of corpus
     size; nothing ever materializes the full matrix on the driver or in
     one task.  The O(N²) FLOPs are the operator's *contract* (it is the
     exact baseline) — at corpus scale they spread over B(B+1)/2
@@ -318,6 +332,11 @@ def ivf_assign(sf_dir: str, n_buckets: int = 8) -> rd.Dataset:
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {"vec_id": pd.Series(dtype="int64"),
+                 "bucket_id": pd.Series(dtype="int64")}
+            )
         c = ray.get(ref)
         bmat = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
         return pd.DataFrame(
@@ -354,6 +373,12 @@ def ann_topk_ivf(
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def local(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "sim": pd.Series(dtype="float64")}
+            )
         qids, qmat, nc, qbk = ray.get(ref)
         bids = batch["vec_id"].to_numpy(dtype=np.int64)
         bmat = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
@@ -394,15 +419,24 @@ def embedding_neardup_ivf(
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def to_buckets(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {"bucket_id": pd.Series(dtype="int64"),
+                 "vec_id": pd.Series(dtype="int64"),
+                 "embedding": pd.Series(dtype="object")}
+            )
         c = ray.get(ref)
+        # effective probe count: fewer fitted centroids than n_probe
+        # (tiny tables, n_buckets=1) must not tile vec_id/embedding
+        # wider than argsort's column count
+        p = min(n_probe, c.shape[0])
         bmat = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
-        order = np.argsort(-np.round(bmat @ c.T, 9), axis=1, kind="stable")[:, :n_probe]
-        n = len(batch)
+        order = np.argsort(-np.round(bmat @ c.T, 9), axis=1, kind="stable")[:, :p]
         return pd.DataFrame(
             {
                 "bucket_id": order.T.reshape(-1).astype("int64"),
-                "vec_id": np.tile(batch["vec_id"].to_numpy(dtype=np.int64), n_probe),
-                "embedding": list(batch["embedding"].to_numpy()) * n_probe,
+                "vec_id": np.tile(batch["vec_id"].to_numpy(dtype=np.int64), p),
+                "embedding": list(batch["embedding"].to_numpy()) * p,
             }
         )
 
@@ -414,10 +448,28 @@ def embedding_neardup_ivf(
             )
         ids = g["vec_id"].to_numpy(dtype=np.int64)
         mat = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
-        sims = np.round(mat @ mat.T, 6)
-        ai, bj = np.nonzero(sims >= threshold)
-        keep = ids[ai] < ids[bj]
-        return pd.DataFrame({"a": ids[ai][keep], "b": ids[bj][keep]})
+        # tiled upper-triangle scan (see _IVF_PAIR_TILE): ids are sorted,
+        # so off-diagonal tiles satisfy a < b by construction and the
+        # diagonal tiles dedup via the same a < b keep as before — the
+        # pair set is identical to the full m×m form, without its
+        # corpus-proportional m² memory
+        t = _IVF_PAIR_TILE
+        out_a, out_b = [], []
+        for i0 in range(0, len(ids), t):
+            mi = mat[i0:i0 + t]
+            for j0 in range(i0, len(ids), t):
+                sims = np.round(mi @ mat[j0:j0 + t].T, 6)
+                ai, bj = np.nonzero(sims >= threshold)
+                ga, gb = ids[i0 + ai], ids[j0 + bj]
+                keep = ga < gb
+                out_a.append(ga[keep])
+                out_b.append(gb[keep])
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a) if out_a else
+             np.zeros(0, dtype=np.int64),
+             "b": np.concatenate(out_b) if out_b else
+             np.zeros(0, dtype=np.int64)}
+        )
 
     out = (
         ds.map_batches(to_buckets, batch_format="pandas", batch_size=4096)
@@ -460,6 +512,12 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5) -> pd.DataFrame:
         ref = ray.put(cent)
 
         def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            if not len(batch):
+                return pd.DataFrame(
+                    {"cluster": pd.Series(dtype="int64"),
+                     "count": pd.Series(dtype="int64"),
+                     "vsum": pd.Series(dtype="object")}
+                )
             c = ray.get(ref)
             bmat = _normalize(
                 np.stack(batch["embedding"].to_numpy()).astype(np.float64)
@@ -496,6 +554,11 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5) -> pd.DataFrame:
     final_ref = ray.put(cent)
 
     def assign_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {"vec_id": pd.Series(dtype="int64"),
+                 "cluster_id": pd.Series(dtype="int64")}
+            )
         c = ray.get(final_ref)
         bmat = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
         return pd.DataFrame(
@@ -518,7 +581,6 @@ def knn_label_vote(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.DataFrame
     search is the brute-force top-k (broadcast queries, per-batch matmul
     partials); the label lookup is a typed pyarrow semi-join over the tiny
     winner set — never a shuffle join."""
-    import pyarrow as pa
     import pyarrow.compute as pc
 
     top = ann_topk(sf_dir, n_queries=n_queries, k=k)

@@ -421,3 +421,48 @@ def test_contamination_scrub_kernel_semantics(ray_session, tmp_path):
     assert out.loc[2, "n_removed"] == 0
     assert out.loc[3, "n_removed"] == 0 and out.loc[3, "clean_md5"] == md5("alpha beta")
     assert out.loc[4, "n_tokens"] == 0 and out.loc[4, "clean_md5"] == md5("")
+
+
+def test_ivf_neardup_tiled_scan_and_single_bucket(ray_session, monkeypatch):
+    """The within-bucket pair scan is TILED (bounded per-task memory at
+    any bucket size): a tiny tile edge must produce the identical pair
+    set, and n_buckets=1 (one exhaustive bucket — which also exercises
+    the fitted-centroids < n_probe path that used to crash to_buckets)
+    must equal the exact baseline."""
+    from latyas_ray.ops import similarity
+
+    sf = "/root/testdata/sf0.001"
+    base = similarity.embedding_neardup_ivf(sf, threshold=0.45)
+    monkeypatch.setattr(similarity, "_IVF_PAIR_TILE", 3)
+    tiled = similarity.embedding_neardup_ivf(sf, threshold=0.45)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(base, tiled)
+
+    monkeypatch.undo()
+    similarity._FIT_CACHE.pop((sf, 1), None)
+    one = similarity.embedding_neardup_ivf(sf, threshold=0.45, n_buckets=1)
+    exact = similarity.embedding_neardup_pairs(sf, threshold=0.45)
+    pd.testing.assert_frame_equal(
+        one.reset_index(drop=True), exact.reset_index(drop=True)
+    )
+
+
+def test_ivf_assign_matches_centroid_argmax(ray_session):
+    """ivf_assign (bucket id as a first-class column) covers every row
+    and agrees with a direct argmax against the shared centroid fit."""
+    import numpy as np
+
+    from latyas_ray.ops.common import read_table, table_num_rows
+    from latyas_ray.ops.similarity import _fit_ivf, _normalize, ivf_assign
+
+    sf = "/root/testdata/sf0.001"
+    out = ivf_assign(sf, n_buckets=8).to_pandas().sort_values("vec_id")
+    assert len(out) == table_num_rows(sf, "embeddings")
+    assert out["bucket_id"].between(0, 7).all()
+
+    t = read_table(sf, "embeddings").to_pandas().sort_values("vec_id")
+    c = _fit_ivf(sf, 8)
+    mat = _normalize(np.stack(t["embedding"].to_numpy()).astype(np.float64))
+    want = np.argmax(np.round(mat @ c.T, 9), axis=1)
+    assert (out["bucket_id"].to_numpy() == want).all()
