@@ -59,7 +59,7 @@ from __future__ import annotations
 import logging
 import math
 import os
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -92,30 +92,19 @@ def _qlog_micro(num: int, den: int) -> int:
 
 
 def _token_scaffold(texts: pd.Series):
-    """Per-batch tokenization at C speed: ascii-lower the whole column,
-    split on the pinned complement class, flatten, drop boundary
-    empties, dictionary-encode.  Returns ``(n_tok, doc, tok_id, uniq)``
-    — per-row token counts, per-token row index, per-token dictionary
-    id, and the unique token strings — or ``None`` for a tokenless
-    batch.  (Same construction as ``webtext._flat_tokens`` but under the
-    LM's letters-only tokenizer.)"""
-    arr = pc.fill_null(
-        pa.array(texts.to_numpy(), type=pa.string(), from_pandas=True), ""
-    )
-    lists = pc.split_pattern_regex(pc.ascii_lower(arr), pattern=LM_SPLIT_RE)
-    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
-    lens = lens.astype(np.int64)
-    flat = pc.list_flatten(lists)
-    doc_all = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
-    mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-    if not mask.any():
+    """Per-batch tokenization at C speed under the LM's letters-only
+    lowercased tokenizer.  Returns ``(n_tok, doc, tok_id, uniq)`` —
+    per-row token counts, per-token row index, per-token dictionary id,
+    and the unique token strings — or ``None`` for a tokenless batch.
+    Delegates to ``webtext._flat_tokens`` (one construction home — a
+    line-for-line local copy here once diverged from the shared one's
+    guards)."""
+    from .webtext import _flat_tokens
+
+    r = _flat_tokens(texts, split_pattern=LM_SPLIT_RE, lower=True)
+    if r is None:
         return None
-    flat_ne = flat.filter(pa.array(mask))
-    doc = doc_all[mask]
-    n_tok = np.bincount(doc, minlength=len(texts)).astype(np.int64)
-    d = pc.dictionary_encode(flat_ne)
-    tok_id = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    uniq = np.asarray(d.dictionary.to_pylist(), dtype=object)
+    n_tok, doc, tok_id, uniq, _starts = r
     return n_tok, doc, tok_id, uniq
 
 
@@ -145,7 +134,7 @@ class _LMModel:
         self.fallback = fallback              # int64[V+1] micro-nats
 
 
-_MODEL_CACHE: Dict[Tuple[str, int, int, int], _LMModel] = {}
+_MODEL_CACHE: Dict[tuple, _LMModel] = {}
 _EMPTY_COUNT = pd.DataFrame(
     {"key": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64"),
      "kind": pd.Series(dtype="int64"), "part": pd.Series(dtype="int64")}
@@ -179,9 +168,15 @@ def _seed_vocab(sf_dir: str, seed_mod: int, vocab_cap: int) -> np.ndarray:
 
     def reduce_top(g: pd.DataFrame) -> pd.DataFrame:
         totals = g.groupby("word", as_index=False)["n"].sum()
-        return totals.sort_values(
+        top = totals.sort_values(
             ["n", "word"], ascending=[False, True]
-        ).head(vocab_cap)
+        ).head(vocab_cap).copy()
+        # true distinct count of this part BEFORE its cap, so the
+        # driver's drop warning counts what was actually pruned (each
+        # word hashes to one part, so the per-part counts sum exactly)
+        top["part"] = int(g["part"].iloc[0])
+        top["nd"] = len(totals)
+        return top
 
     survivors = (
         ds.map_batches(partial, batch_format="pandas", batch_size=4096)
@@ -194,10 +189,11 @@ def _seed_vocab(sf_dir: str, seed_mod: int, vocab_cap: int) -> np.ndarray:
     top = survivors.sort_values(
         ["n", "word"], ascending=[False, True]
     ).head(vocab_cap)
-    if len(survivors) > len(top):
+    n_distinct = int(survivors.drop_duplicates("part")["nd"].sum())
+    if n_distinct > len(top):
         logging.getLogger(__name__).warning(
             "lm vocab capped at %d (dropped %d rarer seed words)",
-            vocab_cap, len(survivors) - len(top),
+            vocab_cap, n_distinct - len(top),
         )
     return np.sort(top["word"].to_numpy(dtype=object))
 
@@ -247,10 +243,18 @@ def _seed_counts(sf_dir: str, seed_mod: int, pair_cap: int,
     def reduce_cap(g: pd.DataFrame) -> pd.DataFrame:
         totals = g.groupby(["kind", "key"], as_index=False)["n"].sum()
         lefts = totals[totals["kind"] == 0]
-        pairs = totals[totals["kind"] == 1].sort_values(
+        all_pairs = totals[totals["kind"] == 1]
+        pairs = all_pairs.sort_values(
             ["n", "key"], ascending=[False, True]
         ).head(pair_cap)
-        return pd.concat([lefts, pairs], ignore_index=True)
+        # kind=2 summary row: this part's TRUE distinct-bigram count
+        # before its cap, so the driver's drop warning counts what was
+        # actually pruned (a key hashes to one part — counts sum exactly)
+        census = pd.DataFrame(
+            {"kind": [np.int64(2)], "key": [np.int64(-1)],
+             "n": [np.int64(len(all_pairs))]}
+        )
+        return pd.concat([lefts, pairs, census], ignore_index=True)
 
     merged = (
         ds.map_batches(partial, batch_format="pandas", batch_size=4096)
@@ -267,7 +271,7 @@ def _seed_counts(sf_dir: str, seed_mod: int, pair_cap: int,
         pairs = merged[merged["kind"] == 1].sort_values(
             ["n", "key"], ascending=[False, True]
         ).head(pair_cap)
-        n_pairs_total = int((merged["kind"] == 1).sum())
+        n_pairs_total = int(merged.loc[merged["kind"] == 2, "n"].sum())
         if n_pairs_total > len(pairs):
             logging.getLogger(__name__).warning(
                 "lm pair table capped at %d (dropped %d rarer bigrams)",
@@ -287,8 +291,17 @@ def build_model(sf_dir: str, seed_mod: int = LM_SEED_MOD,
                 pair_cap: int = LM_PAIR_CAP) -> _LMModel:
     """Two train passes + driver-side quantization (math.log over exact
     integer counts — the ONLY floating-point step in the family, and it
-    runs once, on one machine).  Cached per (corpus dir, params)."""
-    key = (os.path.abspath(sf_dir), seed_mod, vocab_cap, pair_cap)
+    runs once, on one machine).  Cached per (corpus dir, file identity,
+    params) — the file's (mtime, size) is part of the key, so a table
+    REGENERATED at the same path (test fixtures, a re-synthesized sf
+    dir) is never silently scored with the stale model."""
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(doc_path)
+        ident: Tuple[int, int] = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        ident = (0, 0)
+    key = (os.path.abspath(sf_dir), ident, seed_mod, vocab_cap, pair_cap)
     if key in _MODEL_CACHE:
         return _MODEL_CACHE[key]
     vocab_sorted = _seed_vocab(sf_dir, seed_mod, vocab_cap)
@@ -600,16 +613,18 @@ DSIR_RESAMPLE_K = 100
 def _gumbel_micro(doc_ids) -> np.ndarray:
     """Deterministic per-doc Gumbel noise in integer micro-nats: the
     uniform is seeded from the pinned md5-number of ``dsir-gumbel:{id}``
-    (``u = (v + 0.5) / 2^64`` ∈ (0,1), so neither log can hit 0), then
+    (``u = (v + 0.5) / 2^64``, clamped below 1.0 — the quotient itself
+    ROUNDS to exactly 1.0 for v in the top ~2^10 of the range, p ≈
+    5.5e-17 per doc but a hard task crash at trillion-doc scale), then
     ``floor(-ln(-ln(u)) * 1e6 + 0.5)`` with ``math.log`` per value —
     the same one-float64-quotient discipline as ``_qlog_micro``, so the
-    serial oracle reproduces every bit."""
+    serial oracle reproduces every bit (identical clamp line there)."""
     from .export import md5_number_lower
 
     out = np.empty(len(doc_ids), dtype=np.int64)
     for i, d in enumerate(doc_ids):
         v = md5_number_lower(f"dsir-gumbel:{int(d)}")
-        u = (v + 0.5) / 2.0 ** 64
+        u = min((v + 0.5) / 2.0 ** 64, 1.0 - 2.0 ** -53)
         out[i] = int(math.floor(-math.log(-math.log(u)) * LM_QSCALE + 0.5))
     return out
 

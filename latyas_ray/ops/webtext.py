@@ -1862,10 +1862,15 @@ GOPHER_STOPWORDS = _GOPHER_STOPWORDS  # pinned in ops/common.py — the
 GOPHER_BULLET_PREFIXES = ("- ", "* ", "• ")
 
 
-def _flat_tokens(t: pd.Series, return_flat: bool = False):
+def _flat_tokens(t: pd.Series, return_flat: bool = False,
+                 split_pattern: Optional[str] = None, lower: bool = False):
     """ONE flat-token construction for every per-document token kernel
     (quality, repetition, span census): pinned-ASCII token lists exploded
-    to a flat id array with per-document extents.
+    to a flat id array with per-document extents.  ``split_pattern`` /
+    ``lower`` parameterize the tokenizer for the LM family's
+    letters-only lowercased stream (``lm._token_scaffold``) — one home,
+    so a guard or tokenizer fix lands in every consumer at once instead
+    of silently missing a per-module copy.
 
     Returns ``(n_tok, doc, tok_id, uniq, starts)`` — token count per row,
     document index per token, factorized token id per token, the unique
@@ -1887,7 +1892,12 @@ def _flat_tokens(t: pd.Series, return_flat: bool = False):
     arr = pc.fill_null(
         pa.array(t.to_numpy(), type=pa.string(), from_pandas=True), ""
     )
-    lists = pc.split_pattern_regex(arr, pattern=WS_RE + "+")
+    if lower:
+        arr = pc.ascii_lower(arr)
+    lists = pc.split_pattern_regex(
+        arr, pattern=split_pattern if split_pattern is not None
+        else WS_RE + "+"
+    )
     lens = pc.list_value_length(lists).to_numpy(
         zero_copy_only=False
     ).astype(np.int64)

@@ -969,7 +969,9 @@ def _oracle_dsir_resample(sf_dir: str) -> pa.Table:
     rows = []
     for doc_id, lw in zip(w["doc_id"], w["dsir_logw_micro"]):
         v = md5_number_lower(f"dsir-gumbel:{int(doc_id)}")
-        u = (v + 0.5) / 2.0 ** 64
+        # clamp pinned with lm._gumbel_micro: the quotient rounds to
+        # exactly 1.0 for v in the top ~2^10 of the range
+        u = min((v + 0.5) / 2.0 ** 64, 1.0 - 2.0 ** -53)
         g = int(math.floor(-math.log(-math.log(u)) * LM_QSCALE + 0.5))
         rows.append((int(doc_id), int(lw), g, int(lw) + g))
     rows.sort(key=lambda r: (-r[3], r[0]))
